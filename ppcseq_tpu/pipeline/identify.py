@@ -1,0 +1,431 @@
+"""Two-pass Bayesian outlier identification (reference R/methods.R:74-367).
+
+`identify_outliers` runs:
+  1. validation + threshold/draw-count math (R/methods.R:110-195)
+  2. data prep: gene selection, indexing, design matrix, TMM exposure
+     (R/methods.R:198-238)
+  3. PASS 1 "discovery": permissive CI fit flags candidate outliers
+     (R/methods.R:268-300)
+  4. PASS 2 "test": refit excluding those points from the likelihood
+     (truncation), draw CIs at the user FP level (R/methods.R:320-342)
+  5. merge into a per-transcript nested result (R/methods.R:344-365)
+
+Inference is JAX ADVI (default) or vectorized multi-chain NUTS; posterior
+predictive CIs are simulated on device (ppcseq_tpu.ppc).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from ppcseq_tpu.data import ingest
+from ppcseq_tpu.formula.design import create_design_matrix, parse_formula
+from ppcseq_tpu.infer.advi import advi_sample, vb_iterative
+from ppcseq_tpu.infer.chains import chains_for_run, mcmc_iterations
+from ppcseq_tpu.infer.nuts import run_nuts
+from ppcseq_tpu.model import nb_model
+from ppcseq_tpu.norm.tmm import sample_scaling
+from ppcseq_tpu.ppc.rng import approximated_ci, exact_ci
+from ppcseq_tpu.utils import constants as K
+
+
+@dataclass
+class InferenceResult:
+    """Per-(sample, checked-gene) results of one fit (reference do_inference)."""
+
+    table: pd.DataFrame
+    total_draws: int
+    fit: Any = None
+    counts_rng: np.ndarray | None = None  # [n_draws, S, K] when exact path ran
+
+
+def _available_memory_bytes() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return float(line.split()[1]) * 1024.0
+    except OSError:
+        pass
+    return 16e9
+
+
+def do_inference(
+    my_df: pd.DataFrame,
+    formula: str,
+    sample: str,
+    transcript: str,
+    abundance: str,
+    do_check: str,
+    *,
+    approximate_posterior_inference: bool,
+    approximate_posterior_analysis: bool,
+    X: np.ndarray,
+    sorted_sample_names: list[str],
+    exposure_by_sample: dict[str, float],
+    adj_prob_theshold: float,
+    how_many_posterior_draws: float,
+    cores: int,
+    seed: int,
+    to_exclude: pd.DataFrame | None = None,
+    truncation_compensation: float = 1.0,
+    save_generated_quantities: bool = False,
+    tol_rel_obj: float = 0.01,
+    pass_fit: bool = False,
+    dtype=jnp.float32,
+) -> InferenceResult:
+    """One fit + CI extraction + outlier annotation (reference R/utilities.R:1321-1547)."""
+    md = ingest.build_model_data(
+        my_df, sample, transcript, abundance, do_check,
+        X, sorted_sample_names, exposure_by_sample,
+        exclude=to_exclude,
+    )
+    data, dims = nb_model.prepare_data(
+        md.counts, md.X, md.exposure_rate, md.n_check,
+        exclude_mask=md.exclude_mask, dtype=dtype,
+    )
+    log_density = nb_model.make_log_density(data, dims)
+
+    # If CI analysis is approximated, only ~1000 actual draws are needed
+    # (reference R/utilities.R:1372)
+    draws_practical = (
+        K.APPROX_ANALYSIS_PRACTICAL_DRAWS
+        if approximate_posterior_analysis
+        else int(np.ceil(how_many_posterior_draws))
+    )
+
+    key = jax.random.PRNGKey(seed)
+    k_fit, k_draws, k_ci = jax.random.split(key, 3)
+
+    fit_info: dict[str, Any] = {}
+    if approximate_posterior_inference:
+        res = vb_iterative(
+            log_density, dims.dim, k_fit,
+            max_iter=K.VB_MAX_ITER,
+            tol_rel_obj=K.VB_TOL_REL_OBJ,  # hard-coded in reference R/utilities.R:1493
+            dtype=dtype,
+        )
+        thetas = advi_sample(res, k_draws, draws_practical, dtype=dtype)
+        fit_info = {"method": "advi", "elbo": res.elbo, "iterations": res.iterations}
+        fit_obj = res
+    else:
+        chains = chains_for_run(draws_practical, cores)
+        per_chain = mcmc_iterations(draws_practical, chains)
+        res = run_nuts(
+            log_density, dims.dim, k_fit,
+            num_chains=chains,
+            num_warmup=K.MCMC_WARMUP,
+            num_draws=per_chain,
+            dtype=dtype,
+        )
+        thetas = jnp.asarray(res.draws.reshape(-1, dims.dim))
+        fit_info = {
+            "method": "nuts",
+            "chains": chains,
+            "divergences": res.divergences.tolist(),
+            "step_size": res.step_size.tolist(),
+        }
+        fit_obj = res
+
+    lambda_log_draws, sigma_raw_draws = nb_model.extract_lambda_sigma_draws(thetas, data, dims)
+    alpha1_draws = nb_model.extract_alpha_sub_1_draws(thetas, dims)
+    slope_mean = np.asarray(jnp.mean(alpha1_draws, axis=0))  # posterior mean per checked gene
+
+    counts_rng = None
+    if approximate_posterior_analysis:
+        ci = approximated_ci(
+            k_ci, lambda_log_draws, sigma_raw_draws,
+            jnp.asarray(md.exposure_rate, dtype),
+            adj_prob_theshold, int(np.ceil(how_many_posterior_draws)),
+            truncation_compensation,
+        )
+    else:
+        ci, rng_draws = exact_ci(
+            k_ci, lambda_log_draws, sigma_raw_draws,
+            jnp.asarray(md.exposure_rate, dtype),
+            adj_prob_theshold, truncation_compensation,
+        )
+        counts_rng = np.asarray(rng_draws)
+
+    # Assemble the per-(S, checked G) table
+    nc = dims.n_check
+    check_df = my_df[my_df[do_check].astype(bool)][
+        [transcript, sample, abundance, "S", "G"] + parse_formula(formula)
+    ].copy()
+    check_df = check_df[check_df["G"] < nc].reset_index(drop=True)
+    s_idx = check_df["S"].to_numpy()
+    g_idx = check_df["G"].to_numpy()
+    check_df[".lower"] = ci["lower"][s_idx, g_idx]
+    check_df[".upper"] = ci["upper"][s_idx, g_idx]
+    check_df["mean"] = ci["mean"][s_idx, g_idx]
+    check_df["sd"] = ci["sd"][s_idx, g_idx]
+
+    # PPC decision (reference check_if_within_posterior, R/utilities.R:651-663)
+    counts_vals = check_df[abundance].to_numpy()
+    check_df["ppc"] = (counts_vals >= check_df[".lower"]) & (counts_vals <= check_df[".upper"])
+    check_df["is higher than mean"] = (~check_df["ppc"]) & (counts_vals > check_df["mean"])
+
+    # Slope = posterior mean of alpha_sub_1[G] (R/utilities.R:1531)
+    check_df["slope"] = slope_mean[g_idx]
+
+    # Deleterious annotation (reference add_deleterious_if_covariate_exists,
+    # R/utilities.R:493-513): only when the design has a covariate
+    if X.shape[1] > 1:
+        pos_in_sorted = {name: i for i, name in enumerate(sorted_sample_names)}
+        foi = np.asarray(X, dtype=np.float64)[:, 1]
+        foi_by_s = foi[[pos_in_sorted[s] for s in md.sample_names]]
+        is_group_right = foi_by_s[s_idx] > foi.mean()
+        slope = check_df["slope"].to_numpy()
+        is_group_high = ((slope > 0) & is_group_right) | ((slope < 0) & ~is_group_right)
+        check_df["deleterious_outliers"] = (~check_df["ppc"]) & (
+            check_df["is higher than mean"].to_numpy() == is_group_high
+        )
+
+    if save_generated_quantities:
+        if counts_rng is None:
+            raise ValueError("generated quantities require the exact CI path")
+        gq = [
+            pd.DataFrame({".draw": np.arange(counts_rng.shape[0]) + 1,
+                          ".value": counts_rng[:, s, g]})
+            for s, g in zip(s_idx, g_idx)
+        ]
+        check_df["generated quantities"] = gq
+
+    total_draws = int(dims.S * nc * how_many_posterior_draws)
+    return InferenceResult(
+        table=check_df,
+        total_draws=total_draws,
+        fit=fit_obj if pass_fit else fit_info,
+        counts_rng=counts_rng,
+    )
+
+
+def identify_outliers(
+    data: pd.DataFrame,
+    formula: str = "~ 1",
+    sample: str = "sample",
+    transcript: str = "transcript",
+    abundance: str = "count",
+    significance: str = "PValue",
+    do_check: str = "do_check",
+    scaling_factor: str | None = None,
+    percent_false_positive_genes: float = 1.0,
+    how_many_negative_controls: int = 500,
+    approximate_posterior_inference: bool = True,
+    approximate_posterior_analysis: bool | None = True,
+    draws_after_tail: int = 10,
+    save_generated_quantities: bool = False,
+    cores: int | None = None,
+    pass_fit: bool = False,
+    do_check_only_on_detrimental: bool | None = None,
+    tol_rel_obj: float = 0.01,
+    just_discovery: bool = False,
+    seed: int | None = None,
+    adj_prob_theshold_2: float | None = None,
+    dtype=jnp.float32,
+) -> pd.DataFrame:
+    """Identify deleterious outlier observations per significant transcript.
+
+    Mirrors the reference's public API (R/methods.R:74-98). Returns a nested
+    DataFrame: one row per checked transcript with columns [transcript,
+    sample_wise_data, ppc_samples_failed, tot_deleterious_outliers*]
+    (*when do_check_only_on_detrimental). Provenance is in `.attrs`.
+    """
+    if cores is None:
+        cores = os.cpu_count() or 1
+    if do_check_only_on_detrimental is None:
+        do_check_only_on_detrimental = len(parse_formula(formula)) > 0
+    if seed is None:
+        seed = int(np.random.default_rng().integers(1, 1_000_000))
+
+    # ---- validation (R/methods.R:110-153) --------------------------------
+    ingest.check_columns_exist(data, [sample, transcript, abundance, significance])
+    ingest.check_if_any_na(data, [sample, transcript, abundance, significance] + parse_formula(formula))
+
+    if not data[do_check].astype(bool).any():
+        import warnings
+
+        warnings.warn("ppcseq says: there are no transcripts with the .do_check category. Empty result returned.")
+        empty = pd.DataFrame(
+            {transcript: [], "sample_wise_data": [], "ppc_samples_failed": [],
+             "tot_deleterious_outliers": []}
+        )
+        return empty
+
+    if approximate_posterior_inference and save_generated_quantities:
+        raise ValueError(
+            "Variational Bayes does not support saving generated quantities, use sampling"
+        )
+    if not (0 <= percent_false_positive_genes <= 100) or np.isnan(percent_false_positive_genes):
+        raise ValueError("percent_false_positive_genes must be between 0 and 100")
+    if data[transcript].isna().any():
+        raise ValueError("There are NAs in the .transcript. Please filter those records")
+    ingest.check_integer_counts(data, abundance)
+
+    # ---- thresholds and draw counts (R/methods.R:155-167) ----------------
+    n_samples = data[sample].nunique()
+    if adj_prob_theshold_2 is None:
+        adj_prob_theshold_2 = (
+            percent_false_positive_genes / 100 / n_samples
+            * (2 if do_check_only_on_detrimental else 1)
+        )
+    adj_prob_theshold_1 = max(0.05, adj_prob_theshold_2 * 2)
+    how_many_posterior_draws_1 = max(draws_after_tail / adj_prob_theshold_1, 1000)
+    how_many_posterior_draws_2 = max(draws_after_tail / adj_prob_theshold_2, 1000)
+
+    # auto-switch to approximated CI analysis (R/methods.R:169-195)
+    if approximate_posterior_analysis is None:
+        approximate_posterior_analysis = how_many_posterior_draws_2 > K.APPROX_ANALYSIS_DRAW_THRESHOLD
+    if not approximate_posterior_analysis:
+        intercept_b, slope_b = (
+            K.MEM_REGRESSION_MCMC if not approximate_posterior_inference else K.MEM_REGRESSION_VB
+        )
+        required = intercept_b + how_many_posterior_draws_2 * slope_b
+        if required > _available_memory_bytes():
+            import warnings
+
+            warnings.warn(
+                "Not enough memory to analyse the posterior with full MCMC draws; "
+                "approximate_posterior_analysis set to True"
+            )
+            approximate_posterior_analysis = True
+
+    # ---- data prep (R/methods.R:198-238) ---------------------------------
+    work = data.assign(do_check___=data[do_check].astype(bool))
+    my_df = ingest.format_input(
+        work, formula, sample, transcript, abundance, "do_check___",
+        significance, how_many_negative_controls,
+    )
+    X, x_names, x_rows = create_design_matrix(my_df, formula, sample)
+    sorted_sample_names = list(x_rows[sample])
+
+    if scaling_factor is not None:
+        scal = (
+            data[[sample, scaling_factor]]
+            .drop_duplicates()
+            .rename(columns={scaling_factor: "multiplier"})
+        )
+        scal["exposure_rate"] = -np.log(scal["multiplier"])
+        scal["exposure_multiplier"] = np.exp(scal["exposure_rate"])
+    else:
+        scal = sample_scaling(my_df, sample, transcript, abundance)
+    exposure_by_sample = dict(zip(scal[sample], scal["exposure_rate"]))
+
+    common = dict(
+        formula=formula,
+        sample=sample,
+        transcript=transcript,
+        abundance=abundance,
+        do_check="do_check___",
+        X=X,
+        sorted_sample_names=sorted_sample_names,
+        exposure_by_sample=exposure_by_sample,
+        cores=cores,
+        tol_rel_obj=tol_rel_obj,
+        dtype=dtype,
+    )
+
+    # ---- PASS 1: discovery (R/methods.R:268-286) -------------------------
+    res_discovery = do_inference(
+        my_df,
+        approximate_posterior_inference=approximate_posterior_inference,
+        approximate_posterior_analysis=False,
+        adj_prob_theshold=adj_prob_theshold_1,
+        how_many_posterior_draws=how_many_posterior_draws_1,
+        pass_fit=True,
+        seed=seed,
+        **common,
+    )
+    if just_discovery:
+        return res_discovery.table
+
+    # points to exclude in pass 2 (R/methods.R:292-300)
+    disc = res_discovery.table
+    if do_check_only_on_detrimental:
+        to_exclude = disc.loc[disc["deleterious_outliers"], ["S", "G"]]
+    else:
+        to_exclude = disc.loc[~disc["ppc"], ["S", "G"]]
+    to_exclude = to_exclude.drop_duplicates()
+
+    # ---- PASS 2: test at the user FP level (R/methods.R:320-342) ---------
+    res_test = do_inference(
+        my_df,
+        approximate_posterior_inference=approximate_posterior_inference,
+        approximate_posterior_analysis=approximate_posterior_analysis,
+        adj_prob_theshold=adj_prob_theshold_2,
+        how_many_posterior_draws=how_many_posterior_draws_2,
+        to_exclude=to_exclude,
+        truncation_compensation=K.TRUNCATION_COMPENSATION_PASS2,
+        save_generated_quantities=save_generated_quantities,
+        pass_fit=pass_fit,
+        seed=seed + 1,
+        **common,
+    )
+
+    # ---- merge (reference merge_results, R/utilities.R:539-608) ----------
+    result = merge_results(
+        res_discovery.table, res_test.table, formula,
+        transcript, abundance, sample,
+        do_check_only_on_detrimental, scal.rename(columns={sample: "__sample__"}),
+        sample_colname=sample,
+    )
+    result.attrs["total_draws"] = res_test.total_draws
+    result.attrs["transcript_column"] = transcript
+    result.attrs["abundance_column"] = abundance
+    result.attrs["sample_column"] = sample
+    result.attrs["formula"] = formula
+    if pass_fit:
+        result.attrs["fit 1"] = res_discovery.fit
+        result.attrs["fit 2"] = res_test.fit
+    return result
+
+
+def merge_results(
+    disc: pd.DataFrame,
+    test: pd.DataFrame,
+    formula: str,
+    transcript: str,
+    abundance: str,
+    sample: str,
+    do_check_only_on_detrimental: bool,
+    sample_exposure: pd.DataFrame,
+    sample_colname: str,
+) -> pd.DataFrame:
+    """Nest per-transcript results (reference R/utilities.R:539-608)."""
+    covariates = parse_formula(formula)
+    left = disc[["S", "G", transcript, abundance, sample] + covariates].copy()
+    left["slope_before_outlier_filtering"] = disc["slope"]
+
+    right_cols = ["S", "G", ".lower", ".upper"]
+    right = test[right_cols].copy()
+    right["slope_after_outlier_filtering"] = test["slope"]
+    right["posterior_predictive_check_succeded"] = test["ppc"]
+    if "deleterious_outliers" in test.columns:
+        right["deleterious_outliers"] = test["deleterious_outliers"]
+    if "generated quantities" in test.columns:
+        right["generated quantities"] = test["generated quantities"]
+
+    merged = left.merge(right, on=["S", "G"], how="left")
+    exp_map = sample_exposure.set_index("__sample__")
+    merged["exposure_rate"] = merged[sample].map(exp_map["exposure_rate"])
+    merged["multiplier"] = merged[sample].map(exp_map["multiplier"])
+
+    rows = []
+    for name, grp in merged.groupby(transcript, sort=False):
+        entry = {
+            transcript: name,
+            "sample_wise_data": grp.drop(columns=[transcript]).reset_index(drop=True),
+            "ppc_samples_failed": int((~grp["posterior_predictive_check_succeded"]).sum()),
+        }
+        if do_check_only_on_detrimental:
+            entry["tot_deleterious_outliers"] = int(grp["deleterious_outliers"].sum())
+        rows.append(entry)
+    return pd.DataFrame(rows)

@@ -1,0 +1,64 @@
+"""Posterior-predictive simulation and credible-interval extraction."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ppcseq_tpu.ppc.rng import approximated_ci, counts_rng_draws, exact_ci, summarize_draws
+
+
+def test_quantile_type7_matches_r():
+    # R: quantile(1:10, c(.1,.9), type=7) == (1.9, 9.1)
+    draws = jnp.arange(1.0, 11.0)[:, None, None]
+    out = summarize_draws(draws, 0.1)
+    assert np.isclose(out["lower"][0, 0], 1.9)
+    assert np.isclose(out["upper"][0, 0], 9.1)
+
+
+def test_counts_rng_moments_and_truncation_compensation():
+    key = jax.random.PRNGKey(0)
+    n, S, K = 60000, 2, 1
+    lam = jnp.full((n, S, K), 3.0)
+    sig = jnp.zeros((n, K))  # sigma_raw=0 -> phi=1
+    exposure = jnp.array([0.0, 1.0])
+    draws = counts_rng_draws(key, lam, sig, exposure, truncation_compensation=1.0)
+    mu0, mu1 = np.exp(3.0), np.exp(4.0)
+    assert abs(float(draws[:, 0, 0].mean()) - mu0) / mu0 < 0.03
+    assert abs(float(draws[:, 1, 0].mean()) - mu1) / mu1 < 0.03
+    # trunc_comp < 1 shrinks phi -> inflates variance, keeps mean
+    draws_tc = counts_rng_draws(key, lam, sig, exposure, truncation_compensation=0.7352941)
+    v = np.asarray(draws[:, 0, 0], dtype=np.float64).var()
+    v_tc = np.asarray(draws_tc[:, 0, 0], dtype=np.float64).var()
+    expected = mu0 + mu0**2  # phi=1
+    expected_tc = mu0 + mu0**2 / 0.7352941
+    assert abs(v - expected) / expected < 0.1
+    assert abs(v_tc - expected_tc) / expected_tc < 0.1
+
+
+def test_exact_vs_approximated_ci_agree():
+    # With many actual draws, the bootstrap-supersampled CI should agree with
+    # the exact-path CI on a stable quantile level.
+    key = jax.random.PRNGKey(1)
+    n, S, K = 4000, 3, 2
+    rng = np.random.default_rng(2)
+    lam = jnp.asarray(rng.normal(2.0, 0.05, size=(n, S, K)))
+    sig = jnp.asarray(rng.normal(-1.0, 0.05, size=(n, K)))
+    exposure = jnp.asarray(rng.normal(0, 0.1, size=S))
+    ci_exact, _ = exact_ci(key, lam, sig, exposure, 0.05)
+    ci_approx = approximated_ci(jax.random.PRNGKey(3), lam, sig, exposure, 0.05, 20000)
+    np.testing.assert_allclose(ci_exact["mean"], ci_approx["mean"], rtol=0.05)
+    np.testing.assert_allclose(ci_exact["lower"], ci_approx["lower"], rtol=0.12, atol=1.0)
+    np.testing.assert_allclose(ci_exact["upper"], ci_approx["upper"], rtol=0.12, atol=1.0)
+
+
+def test_approximated_ci_gene_chunking_consistent():
+    # Results concatenate correctly across gene blocks
+    key = jax.random.PRNGKey(4)
+    n, S, K = 500, 2, 5
+    lam = jnp.full((n, S, K), 1.0)
+    sig = jnp.zeros((n, K))
+    exposure = jnp.zeros(S)
+    out = approximated_ci(key, lam, sig, exposure, 0.1, 1000)
+    assert out["lower"].shape == (S, K)
+    assert np.isfinite(out["mean"]).all()

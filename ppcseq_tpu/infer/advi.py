@@ -8,6 +8,11 @@ ascent on the reparametrized ELBO, with the reference's convergence rule
 over a rolling window, as Stan's ADVI does) and the reference's
 retry-until-success wrapper (`vb_iterative`, R/utilities.R:246-278).
 
+Generic over pytree states (a bare [D] vector is the trivial pytree), so the
+same code runs single-chip or gene-sharded over a mesh: the variational
+parameters inherit the model state's shardings and XLA GSPMD keeps the
+elementwise reparametrization local per shard.
+
 Everything inside one optimization chunk is a single jitted lax.scan, so the
 whole fit is a handful of XLA executions regardless of iteration count.
 """
@@ -15,80 +20,102 @@ whole fit is a handful of XLA executions regardless of iteration count.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ppcseq_tpu.model.params import tree_normal_like, tree_size
+
 
 @dataclass
 class ADVIResult:
-    mean: np.ndarray  # [D] variational mean
-    log_sd: np.ndarray  # [D] variational log-stddev
+    mean: Any  # pytree (or ndarray) variational mean
+    log_sd: Any  # pytree (or ndarray) variational log-stddev
     elbo: float
     elbo_trace: np.ndarray
     converged: bool
     iterations: int
 
 
+def _sample_q(key, m, log_s):
+    eps = tree_normal_like(key, m)
+    return jax.tree.map(lambda mi, lsi, ei: mi + jnp.exp(lsi) * ei, m, log_s, eps)
+
+
 def _elbo_estimate(log_density, m, log_s, key, n_samples):
     """Reparametrized ELBO: E_q[logp(theta)] + entropy(q)."""
-    D = m.shape[0]
-    eps = jax.random.normal(key, (n_samples, D), dtype=m.dtype)
-    thetas = m[None, :] + jnp.exp(log_s)[None, :] * eps
-    logps = jax.vmap(log_density)(thetas)
-    entropy = jnp.sum(log_s) + 0.5 * D * (1.0 + jnp.log(2.0 * jnp.pi))
+    D = tree_size(m)
+    keys = jax.random.split(key, n_samples)
+    logps = jax.vmap(lambda k: log_density(_sample_q(k, m, log_s)))(keys)
+    entropy = sum(jnp.sum(ls) for ls in jax.tree.leaves(log_s))
+    entropy = entropy + 0.5 * D * (1.0 + jnp.log(2.0 * jnp.pi))
     return jnp.mean(logps) + entropy
-
-
-@partial(jax.jit, static_argnums=(0, 1, 5))
-def _advi_chunk(log_density, optimizer, opt_state, params, key, n_steps):
-    """Run n_steps of stochastic ELBO ascent (1 MC gradient sample, Stan default)."""
-
-    def loss_fn(p, k):
-        return -_elbo_estimate(log_density, p["m"], p["log_s"], k, 1)
-
-    def step(carry, k):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p, k)
-        updates, s = optimizer.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
-
-    keys = jax.random.split(key, n_steps)
-    (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
-    return params, opt_state, losses
 
 
 def fit_advi(
     log_density,
-    dim: int,
+    prototype,
     key,
     *,
     max_iter: int = 50000,
     tol_rel_obj: float = 0.005,
     eval_every: int = 100,
     elbo_samples: int = 100,
+    grad_samples: int = 1,
     learning_rate: float = 0.1,
     window: int = 8,
+    init_mean=None,
+    init_log_sd: float | None = None,
     dtype=jnp.float32,
 ) -> ADVIResult:
     """Fit meanfield ADVI; returns the variational parameters.
 
-    Convergence: ELBO estimated with `elbo_samples` draws every `eval_every`
-    steps; stop when the mean or the median of the last `window` relative
-    changes drops below tol_rel_obj (Stan ADVI's rule).
+    `prototype` defines the state structure: an int D (flat vector), an
+    example array, or a pytree. Convergence: ELBO estimated with
+    `elbo_samples` draws every `eval_every` steps; stop when the mean or the
+    median of the last `window` relative changes drops below tol_rel_obj
+    (Stan ADVI's rule). `init_mean` seeds the variational location (e.g.
+    nb_model.smart_init); a data-informed start makes the relative-ELBO rule
+    meaningful from the first window.
     """
+    if isinstance(prototype, int):
+        prototype = jnp.zeros(prototype, dtype)
+    proto = jax.tree.map(lambda x: jnp.asarray(x, dtype), prototype)
+
+    if init_log_sd is None:
+        init_log_sd = -1.0 if init_mean is not None else 0.0
+    m0 = (
+        jax.tree.map(lambda x: jnp.asarray(x, dtype), init_mean)
+        if init_mean is not None
+        else jax.tree.map(jnp.zeros_like, proto)
+    )
     params = {
-        "m": jnp.zeros(dim, dtype=dtype),
-        "log_s": jnp.zeros(dim, dtype=dtype),
+        "m": m0,
+        "log_s": jax.tree.map(lambda x: jnp.full_like(x, init_log_sd), proto),
     }
     # inverse-sqrt step-size decay, like Stan ADVI's rho_k ~ eta / sqrt(k)
     schedule = lambda step: learning_rate / jnp.sqrt(1.0 + step / 100.0)  # noqa: E731
     optimizer = optax.adam(schedule)
     opt_state = optimizer.init(params)
+
+    @jax.jit
+    def chunk(params, opt_state, key):
+        def loss_fn(p, k):
+            return -_elbo_estimate(log_density, p["m"], p["log_s"], k, grad_samples)
+
+        def step(carry, k):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        keys = jax.random.split(key, eval_every)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, losses
 
     elbo_eval = jax.jit(
         lambda p, k: _elbo_estimate(log_density, p["m"], p["log_s"], k, elbo_samples)
@@ -100,9 +127,7 @@ def fit_advi(
     it = 0
     while it < max_iter:
         key, k_chunk, k_eval = jax.random.split(key, 3)
-        params, opt_state, _ = _advi_chunk(
-            log_density, optimizer, opt_state, params, k_chunk, eval_every
-        )
+        params, opt_state, _ = chunk(params, opt_state, k_chunk)
         it += eval_every
         elbo = float(elbo_eval(params, k_eval))
         if not np.isfinite(elbo):
@@ -120,9 +145,10 @@ def fit_advi(
         elbos.append(elbo)
 
     final_elbo = elbos[-1] if elbos else float("nan")
+    is_vector = isinstance(params["m"], jnp.ndarray)
     return ADVIResult(
-        mean=np.asarray(params["m"]),
-        log_sd=np.asarray(params["log_s"]),
+        mean=np.asarray(params["m"]) if is_vector else params["m"],
+        log_sd=np.asarray(params["log_s"]) if is_vector else params["log_s"],
         elbo=final_elbo,
         elbo_trace=np.asarray(elbos),
         converged=converged,
@@ -130,30 +156,43 @@ def fit_advi(
     )
 
 
-def advi_sample(result: ADVIResult, key, n_draws: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Draw n_draws samples from the fitted meanfield posterior, [n, D]."""
-    D = result.mean.shape[0]
-    eps = jax.random.normal(key, (n_draws, D), dtype=dtype)
-    return jnp.asarray(result.mean, dtype)[None, :] + jnp.asarray(
-        np.exp(result.log_sd), dtype
-    )[None, :] * eps
+def advi_sample(result: ADVIResult, key, n_draws: int, dtype=jnp.float32):
+    """Draw n_draws samples from the fitted meanfield posterior.
+
+    Returns [n, D] for vector states, or a stacked pytree (leading draw axis)
+    for pytree states.
+    """
+    m = jax.tree.map(lambda x: jnp.asarray(x, dtype), result.mean)
+    log_s = jax.tree.map(lambda x: jnp.asarray(x, dtype), result.log_sd)
+    keys = jax.random.split(key, n_draws)
+    return jax.vmap(lambda k: _sample_q(k, m, log_s))(keys)
 
 
 def vb_iterative(
     log_density,
-    dim: int,
+    prototype,
     key,
     *,
     max_attempts: int = 5,
     min_elbo: float = -1e15,
+    init_mean=None,
     **advi_kwargs,
 ) -> ADVIResult:
-    """Retry ADVI until it succeeds (reference `vb_iterative`, R/utilities.R:246-278)."""
+    """Retry ADVI until it succeeds (reference `vb_iterative`, R/utilities.R:246-278).
+
+    After the first failure the data-driven init is dropped in favor of the
+    zero init, mirroring the reference's retry-from-scratch behavior.
+    """
     last = None
     for attempt in range(max_attempts):
         key, sub = jax.random.split(key)
-        res = fit_advi(log_density, dim, sub, **advi_kwargs)
-        ok = np.isfinite(res.elbo) and res.elbo > min_elbo and np.isfinite(res.mean).all()
+        res = fit_advi(
+            log_density, prototype, sub,
+            init_mean=init_mean if attempt == 0 else None,
+            **advi_kwargs,
+        )
+        finite_mean = all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(res.mean))
+        ok = np.isfinite(res.elbo) and res.elbo > min_elbo and finite_mean
         if ok:
             return res
         last = res

@@ -93,34 +93,66 @@ def _offsets(d: ModelDims):
     return o
 
 
-def unpack(theta: jnp.ndarray, dims: ModelDims) -> dict:
-    """Split the flat unconstrained vector into named constrained parameters.
-
-    Returns constrained values plus the total log-Jacobian of the transforms.
-    """
+def theta_to_tree(theta: jnp.ndarray, dims: ModelDims) -> dict:
+    """Flat unconstrained vector -> unconstrained pytree (model/params.py layout)."""
     o = _offsets(dims)
 
     def seg(name):
         lo, hi = o[name]
         return theta[lo:hi]
 
-    u_lambda_sigma = seg("lambda_sigma")[0]
-    u_sigma_slope = seg("sigma_slope")[0]
-    u_sigma_sigma = seg("sigma_sigma")[0]
-    params = {
-        "lambda_mu": seg("lambda_mu")[0] + LAMBDA_MU_MU,
-        "lambda_sigma": jnp.exp(u_lambda_sigma),
+    tree = {
+        "lambda_mu": seg("lambda_mu")[0],
+        "lambda_sigma": seg("lambda_sigma")[0],
         "lambda_skew": seg("lambda_skew")[0],
-        "sigma_slope": -jnp.exp(u_sigma_slope),
+        "sigma_slope": seg("sigma_slope")[0],
         "sigma_intercept": seg("sigma_intercept")[0],
-        "sigma_sigma": jnp.exp(u_sigma_sigma),
+        "sigma_sigma": seg("sigma_sigma")[0],
         "intercept": seg("intercept"),
         "sigma_raw": seg("sigma_raw"),
         "alpha_sub_1": seg("alpha_sub_1"),
-        "alpha_2": seg("alpha_2").reshape(max(0, dims.C - 2), dims.n_check),
+    }
+    if dims.C > 2:
+        tree["alpha_2"] = seg("alpha_2").reshape(dims.C - 2, dims.n_check)
+    return tree
+
+
+def tree_to_theta(tree: dict, dims: ModelDims) -> jnp.ndarray:
+    parts = [
+        jnp.reshape(tree[n], (1,))
+        for n in ("lambda_mu", "lambda_sigma", "lambda_skew", "sigma_slope",
+                  "sigma_intercept", "sigma_sigma")
+    ]
+    parts += [tree["intercept"], tree["sigma_raw"], tree["alpha_sub_1"]]
+    if dims.C > 2:
+        parts.append(tree["alpha_2"].reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def unpack_tree(tree: dict) -> tuple[dict, jnp.ndarray]:
+    """Unconstrained pytree -> constrained parameters + log-Jacobian."""
+    u_lambda_sigma = tree["lambda_sigma"]
+    u_sigma_slope = tree["sigma_slope"]
+    u_sigma_sigma = tree["sigma_sigma"]
+    params = {
+        "lambda_mu": tree["lambda_mu"] + LAMBDA_MU_MU,
+        "lambda_sigma": jnp.exp(u_lambda_sigma),
+        "lambda_skew": tree["lambda_skew"],
+        "sigma_slope": -jnp.exp(u_sigma_slope),
+        "sigma_intercept": tree["sigma_intercept"],
+        "sigma_sigma": jnp.exp(u_sigma_sigma),
+        "intercept": tree["intercept"],
+        "sigma_raw": tree["sigma_raw"],
+        "alpha_sub_1": tree["alpha_sub_1"],
+        "alpha_2": tree.get("alpha_2", jnp.zeros((0, tree["alpha_sub_1"].shape[0]))),
     }
     log_jac = u_lambda_sigma + u_sigma_slope + u_sigma_sigma
     return params, log_jac
+
+
+def unpack(theta: jnp.ndarray, dims: ModelDims) -> tuple[dict, jnp.ndarray]:
+    """Flat-vector variant of unpack_tree (CPU/small-scale convenience)."""
+    return unpack_tree(theta_to_tree(theta, dims))
 
 
 def make_alpha(params: dict, dims: ModelDims) -> jnp.ndarray:
@@ -187,13 +219,14 @@ def lambda_log(params: dict, data: ModelData, dims: ModelDims) -> jnp.ndarray:
     return jnp.dot(data.X, alpha, preferred_element_type=data.X.dtype)
 
 
-def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
-    """Unnormalized log posterior density in unconstrained space.
+def log_joint_tree(tree: dict, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
+    """Unnormalized log posterior density in unconstrained space (pytree input).
 
-    `likelihood_fn(counts, eta, log_phi, mask) -> scalar` lets callers swap in
-    the Pallas-fused kernel; defaults to the plain-JAX reduction.
+    `likelihood_fn(X, alpha, log_phi, exposure, counts, mask) -> scalar` lets
+    callers swap in the Pallas-fused kernel (ops.nb_kernel.nb_glm_loglik);
+    defaults to the plain-JAX reduction.
     """
-    params, log_jac = unpack(theta, dims)
+    params, log_jac = unpack_tree(tree)
     gm = data.gene_mask
 
     lp = log_jac
@@ -237,34 +270,115 @@ def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihoo
     lp += jnp.sum(pad * normal_lpdf(params["sigma_raw"], 0.0, 1.0))
 
     # Likelihood (stan:97-115): NB2-log with exclusion mask
-    eta = data.exposure_rate[:, None] + lambda_log(params, data, dims)
-    log_phi = -params["sigma_raw"][None, :]  # log sigma = -sigma_raw (stan:203)
+    log_phi_vec = -params["sigma_raw"]  # log sigma = -sigma_raw (stan:203)
     if likelihood_fn is None:
-        lp += jnp.sum(data.like_mask * nb2_log_lpmf(data.counts, eta, log_phi))
+        eta = data.exposure_rate[:, None] + lambda_log(params, data, dims)
+        lp += jnp.sum(data.like_mask * nb2_log_lpmf(data.counts, eta, log_phi_vec[None, :]))
     else:
-        lp += likelihood_fn(data.counts, eta, jnp.broadcast_to(log_phi, eta.shape), data.like_mask)
+        alpha = make_alpha(params, dims)
+        lp += likelihood_fn(
+            data.X, alpha, log_phi_vec, data.exposure_rate, data.counts, data.like_mask
+        )
     return lp
 
 
-def make_log_density(data: ModelData, dims: ModelDims, likelihood_fn=None):
-    """Bind data: returns theta -> scalar log density (jit/vmap friendly)."""
-    return partial(log_joint, data=data, dims=dims, likelihood_fn=likelihood_fn)
+def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
+    """Flat-vector variant of log_joint_tree."""
+    return log_joint_tree(theta_to_tree(theta, dims), data, dims, likelihood_fn=likelihood_fn)
 
 
-def extract_lambda_sigma_draws(thetas: jnp.ndarray, data: ModelData, dims: ModelDims):
-    """From unconstrained draws [n, D], compute the posterior arrays the PPC
-    needs: lambda_log_param[n, S, n_check] and sigma_raw[n, n_check]
-    (the reference always saves these two — R/utilities.R:1373)."""
+def make_log_density(data: ModelData, dims: ModelDims, likelihood_fn=None, tree: bool = False):
+    """Bind data: returns theta (or pytree) -> scalar log density."""
+    fn = log_joint_tree if tree else log_joint
+    return partial(fn, data=data, dims=dims, likelihood_fn=likelihood_fn)
 
-    def one(theta):
-        params, _ = unpack(theta, dims)
+
+def extract_lambda_sigma_draws(thetas, data: ModelData, dims: ModelDims):
+    """Posterior arrays the PPC needs, from draws.
+
+    `thetas` is either a flat [n, D] array or a stacked pytree (leaves with a
+    leading draw axis). Returns (lambda_log_param[n, S, n_check],
+    sigma_raw[n, n_check]) — the reference always saves these two
+    (R/utilities.R:1373).
+    """
+    def one_tree(tree):
+        params, _ = unpack_tree(tree)
         ll = lambda_log(params, data, dims)
         return ll[:, : dims.n_check], params["sigma_raw"][: dims.n_check]
 
-    return jax.vmap(one)(thetas)
+    if isinstance(thetas, dict):
+        return jax.vmap(one_tree)(thetas)
+    return jax.vmap(lambda th: one_tree(theta_to_tree(th, dims)))(thetas)
 
 
-def extract_alpha_sub_1_draws(thetas: jnp.ndarray, dims: ModelDims):
+def extract_alpha_sub_1_draws(thetas, dims: ModelDims):
+    if isinstance(thetas, dict):
+        return thetas["alpha_sub_1"]
     o = _offsets(dims)
     lo, hi = o["alpha_sub_1"]
     return thetas[:, lo:hi]
+
+
+def smart_init(data: ModelData, dims: ModelDims, as_tree: bool = False):
+    """Data-driven initialization point in unconstrained space.
+
+    Per-gene least squares of log depth-adjusted counts on the design gives
+    intercept/slope; method-of-moments gives overdispersion; hyperparameters
+    are set to the empirical moments of those estimates. This replaces the
+    reference's (dead) discovery-based `inits_fx` (R/utilities.R:369-388) and
+    dramatically shortens ADVI/NUTS warmup — the reference pays for random
+    inits with long adaptive runs instead.
+    """
+    counts = np.asarray(data.counts, dtype=np.float64)
+    X = np.asarray(data.X, dtype=np.float64)
+    exposure = np.asarray(data.exposure_rate, dtype=np.float64)
+    mask = np.asarray(data.like_mask, dtype=bool)
+
+    adj = counts / np.exp(exposure)[:, None]  # depth-adjusted counts [S, G]
+    y = np.log(adj + 0.5)
+    # exclude masked points from the regression by imputing the column mean
+    col_mean = np.where(
+        mask.sum(0) > 0, (y * mask).sum(0) / np.maximum(mask.sum(0), 1), 0.0
+    )
+    y = np.where(mask, y, col_mean[None, :])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)  # [C, G]
+
+    intercept = beta[0]
+    mu_hat = np.exp(X @ beta)  # [S, G]
+    resid_var = ((adj - mu_hat) ** 2 * mask).sum(0) / np.maximum(mask.sum(0) - X.shape[1], 1)
+    mu_bar = np.maximum((mu_hat * mask).sum(0) / np.maximum(mask.sum(0), 1), 1e-3)
+    phi = mu_bar**2 / np.maximum(resid_var - mu_bar, mu_bar * 1e-2)
+    phi = np.clip(phi, 1e-3, 1e4)
+    sigma_raw = -np.log(phi)
+
+    real = np.asarray(data.gene_mask, dtype=bool)
+    ic_real = intercept[real]
+    sr_real = sigma_raw[real]
+    lam_mu = float(ic_real.mean())
+    lam_sd = float(max(ic_real.std(), 0.1))
+    # sigma_raw ~ a + b * intercept trend
+    A = np.column_stack([np.ones(real.sum()), ic_real])
+    (s_int, s_slope), *_ = np.linalg.lstsq(A, sr_real, rcond=None)
+    s_slope = min(s_slope, -1e-3)  # constrained negative in the model
+    trend_resid = sr_real - (s_int + s_slope * ic_real)
+    s_sigma = float(max(trend_resid.std(), 0.1))
+
+    theta = np.zeros(dims.dim)
+    o = _offsets(dims)
+    theta[o["lambda_mu"][0]] = lam_mu - 2 * LAMBDA_MU_MU
+    theta[o["lambda_sigma"][0]] = np.log(lam_sd)
+    theta[o["lambda_skew"][0]] = 0.0
+    theta[o["sigma_slope"][0]] = np.log(-s_slope)
+    theta[o["sigma_intercept"][0]] = s_int
+    theta[o["sigma_sigma"][0]] = np.log(s_sigma)
+    theta[o["intercept"][0] : o["intercept"][1]] = np.where(real, intercept, 0.0)
+    theta[o["sigma_raw"][0] : o["sigma_raw"][1]] = np.where(real, sigma_raw, 0.0)
+    if dims.C >= 2:
+        lo, hi = o["alpha_sub_1"]
+        theta[lo:hi] = beta[1, : dims.n_check]
+    if dims.C >= 3:
+        lo, hi = o["alpha_2"]
+        theta[lo:hi] = beta[2:, : dims.n_check].reshape(-1)
+    if as_tree:
+        return theta_to_tree(jnp.asarray(theta), dims)
+    return theta

@@ -32,6 +32,7 @@ from ppcseq_tpu.infer.advi import advi_sample, vb_iterative
 from ppcseq_tpu.infer.chains import chains_for_run, mcmc_iterations
 from ppcseq_tpu.infer.nuts import run_nuts
 from ppcseq_tpu.model import nb_model
+from ppcseq_tpu.model import params as params_mod
 from ppcseq_tpu.norm.tmm import sample_scaling
 from ppcseq_tpu.ppc.rng import approximated_ci, exact_ci
 from ppcseq_tpu.utils import constants as K
@@ -92,7 +93,8 @@ def do_inference(
         md.counts, md.X, md.exposure_rate, md.n_check,
         exclude_mask=md.exclude_mask, dtype=dtype,
     )
-    log_density = nb_model.make_log_density(data, dims)
+    log_density = nb_model.make_log_density(data, dims, tree=True)
+    proto = params_mod.zeros_tree(dims, dtype)
 
     # If CI analysis is approximated, only ~1000 actual draws are needed
     # (reference R/utilities.R:1372)
@@ -105,12 +107,15 @@ def do_inference(
     key = jax.random.PRNGKey(seed)
     k_fit, k_draws, k_ci = jax.random.split(key, 3)
 
+    init_theta = nb_model.smart_init(data, dims, as_tree=True)
+
     fit_info: dict[str, Any] = {}
     if approximate_posterior_inference:
         res = vb_iterative(
-            log_density, dims.dim, k_fit,
+            log_density, proto, k_fit,
             max_iter=K.VB_MAX_ITER,
             tol_rel_obj=K.VB_TOL_REL_OBJ,  # hard-coded in reference R/utilities.R:1493
+            init_mean=init_theta,
             dtype=dtype,
         )
         thetas = advi_sample(res, k_draws, draws_practical, dtype=dtype)
@@ -120,13 +125,15 @@ def do_inference(
         chains = chains_for_run(draws_practical, cores)
         per_chain = mcmc_iterations(draws_practical, chains)
         res = run_nuts(
-            log_density, dims.dim, k_fit,
+            log_density, proto, k_fit,
             num_chains=chains,
             num_warmup=K.MCMC_WARMUP,
             num_draws=per_chain,
+            init_theta=init_theta,
             dtype=dtype,
         )
-        thetas = jnp.asarray(res.draws.reshape(-1, dims.dim))
+        # flatten [chains, draws, ...] leaves to [chains*draws, ...]
+        thetas = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), res.draws)
         fit_info = {
             "method": "nuts",
             "chains": chains,

@@ -37,9 +37,10 @@ def test_chain_heuristic_matches_reference_formula():
 
 def test_warmup_schedule_stan_150():
     # 150 warmup: init 75, one 25-wide window absorbing to 100, term 50
-    assert build_warmup_schedule(150) == [100]
+    ends, init_buf, term_buf = build_warmup_schedule(150)
+    assert ends == [100] and init_buf == 75 and term_buf == 50
     # 1000 warmup: windows 25,50,100,...
-    sched = build_warmup_schedule(1000)
+    sched, _, _ = build_warmup_schedule(1000)
     assert sched[0] == 100 and sched[-1] == 950
 
 

@@ -1,0 +1,112 @@
+"""Benchmark: posterior draws/sec on the bundled `counts` dataset, real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Configuration mirrors the reference's headline use case (README.md:58-74):
+the 15 FDR<0.01 genes + 500 negative controls of `counts` (G=515, S=21,
+~10.8k data points), pFP=1% detrimental-only => ~10.5k posterior draws
+needed (R/methods.R:155-167). The flagship path is vectorized multi-chain
+NUTS: chains are vmapped into one XLA program, so the chip runs as many
+chains as the draw budget wants with one warmup wall-clock.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). The
+comparison constant below is an estimate of 8-thread Stan (rstan NUTS,
+map_rect/TBB) on this model: ~1-2 us per NB2 term + reverse-mode tape per
+gradient (10.8k terms), ~2^5-2^6 leapfrogs/draw after adaptation, 8-way
+thread speedup on the shard loop => O(10-100) draws/sec. We use 50 draws/sec
+as the documented baseline; vs_baseline = draws_per_sec / 50.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+STAN_8THREAD_DRAWS_PER_SEC_ESTIMATE = 50.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ppcseq_tpu import load_counts
+    from ppcseq_tpu.data import ingest
+    from ppcseq_tpu.formula.design import create_design_matrix
+    from ppcseq_tpu.infer.nuts import run_nuts
+    from ppcseq_tpu.model import nb_model
+    from ppcseq_tpu.model.params import zeros_tree
+    from ppcseq_tpu.norm.tmm import sample_scaling
+
+    counts = load_counts()
+    counts["is_significant"] = counts.FDR < 0.01
+    work = counts.assign(do_check___=counts.is_significant)
+    my_df = ingest.format_input(
+        work, "~ Label", "sample", "symbol", "value", "do_check___", "PValue", 500
+    )
+    X, _, xr = create_design_matrix(my_df, "~ Label", "sample")
+    scal = sample_scaling(my_df, "sample", "symbol", "value")
+    md = ingest.build_model_data(
+        my_df, "sample", "symbol", "value", "do_check___",
+        X, list(xr["sample"]), dict(zip(scal["sample"], scal.exposure_rate)),
+    )
+    data, dims = nb_model.prepare_data(
+        md.counts, md.X, md.exposure_rate, md.n_check, dtype=jnp.float32
+    )
+    likelihood_fn = None
+    if jax.default_backend() == "tpu":
+        from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
+
+        likelihood_fn = make_pallas_likelihood()
+    log_density = nb_model.make_log_density(data, dims, tree=True, likelihood_fn=likelihood_fn)
+    init = nb_model.smart_init(data, dims, as_tree=True)
+
+    # Draw budget of the reference's pFP=1% detrimental run:
+    # thr2 = 0.01/21*2, draws = 10/thr2 = 10500 (R/methods.R:155-167).
+    num_chains = 32
+    num_warmup = 150
+    per_chain = 330  # 32 * 330 = 10560 >= 10500
+    total_draws = num_chains * per_chain
+
+    # warm the compile cache with a single short run
+    _ = run_nuts(
+        log_density, zeros_tree(dims), jax.random.PRNGKey(1),
+        num_chains=num_chains, num_warmup=num_warmup, num_draws=per_chain,
+        init_theta=init,
+    )
+
+    t0 = time.time()
+    res = run_nuts(
+        log_density, zeros_tree(dims), jax.random.PRNGKey(0),
+        num_chains=num_chains, num_warmup=num_warmup, num_draws=per_chain,
+        init_theta=init,
+    )
+    elapsed = time.time() - t0
+
+    draws_per_sec = total_draws / elapsed
+    div_frac = float(res.divergences.sum()) / total_draws
+    result = {
+        "metric": "posterior_draws_per_sec_1chip_counts515",
+        "value": round(draws_per_sec, 1),
+        "unit": "draws/s",
+        "vs_baseline": round(draws_per_sec / STAN_8THREAD_DRAWS_PER_SEC_ESTIMATE, 1),
+        "detail": {
+            "total_draws": total_draws,
+            "chains": num_chains,
+            "elapsed_s": round(elapsed, 2),
+            "leapfrog_steps": res.num_leapfrog,
+            "leapfrogs_per_sec": round(res.num_leapfrog / elapsed, 1),
+            "divergence_frac": round(div_frac, 5),
+            "mean_accept": round(float(res.accept_prob.mean()), 3),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "est. 8-thread Stan NUTS on same model = 50 draws/s",
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,8 +155,16 @@ def build_model_data(
     sample_names = my_df[sample].drop_duplicates().tolist()
     S, G = len(sample_names), len(gene_names)
 
-    counts = np.zeros((S, G), dtype=np.int64)
-    counts[my_df["S"].to_numpy(), my_df["G"].to_numpy()] = my_df[abundance].to_numpy()
+    from ppcseq_tpu import _native
+
+    if _native.available():
+        counts = _native.pivot_counts(
+            my_df["S"].to_numpy(), my_df["G"].to_numpy(),
+            my_df[abundance].to_numpy(), S, G,
+        )
+    else:
+        counts = np.zeros((S, G), dtype=np.int64)
+        counts[my_df["S"].to_numpy(), my_df["G"].to_numpy()] = my_df[abundance].to_numpy()
 
     pos_in_sorted = {name: i for i, name in enumerate(sorted_sample_names)}
     X = np.asarray(X_by_sorted_sample, dtype=np.float64)[

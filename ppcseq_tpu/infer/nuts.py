@@ -382,6 +382,7 @@ def run_nuts(
     init_theta=None,
     init_scale: float = 2.0,
     init_jitter: float = 0.1,
+    inv_mass_init=None,
     dtype=jnp.float32,
 ) -> NUTSResult:
     """Run vectorized multi-chain NUTS; returns post-warmup draws.
@@ -420,16 +421,23 @@ def run_nuts(
     schedule = tuple(schedule)
 
     ones_mass = jax.tree.map(jnp.ones_like, proto)
+    mass0 = (
+        jax.tree.map(lambda x: jnp.asarray(x, dtype), inv_mass_init)
+        if inv_mass_init is not None
+        else ones_mass
+    )
 
     def chain_warmup(z, key):
         lp, g = logp_grad(z)
 
         # crude reasonable-epsilon search: first-step accept prob ~ 0.8
         def find_eps(eps, _):
-            r = tree_normal_like(jax.random.fold_in(key, 7), proto)
-            e0 = _energy(lp, r, ones_mass)
-            _, r1, lp1, _ = _leapfrog(logp_grad, z, r, g, eps, ones_mass)
-            e1 = _energy(lp1, r1, ones_mass)
+            r = jax.tree.map(
+                lambda n, im: n / jnp.sqrt(im), tree_normal_like(jax.random.fold_in(key, 7), proto), mass0
+            )
+            e0 = _energy(lp, r, mass0)
+            _, r1, lp1, _ = _leapfrog(logp_grad, z, r, g, eps, mass0)
+            e1 = _energy(lp1, r1, mass0)
             delta = e0 - e1
             delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
             return jnp.where(delta > jnp.log(0.8), eps * 2.0, eps * 0.5), None
@@ -439,7 +447,7 @@ def run_nuts(
 
         da = _da_init(eps0)
         wf = _welford_init(proto)
-        inv_mass = ones_mass
+        inv_mass = mass0
 
         def warmup_step(carry, args):
             z, lp, g, da, wf, inv_mass, key = carry

@@ -46,6 +46,7 @@ import numpy as np
 from ppcseq_tpu.ops.nb import (
     double_exponential_lpdf,
     nb2_log_lpmf,
+    nb2_log_lpmf_stable,
     normal_lpdf,
     skew_normal_lpdf,
 )
@@ -54,13 +55,19 @@ from ppcseq_tpu.utils.constants import LAMBDA_MU_MU
 
 @dataclass(frozen=True)
 class ModelDims:
-    """Static dimensions of one fit."""
+    """Static dimensions (and parametrization) of one fit."""
 
     S: int  # samples
     G: int  # genes incl. negative controls (possibly padded)
     C: int  # design-matrix columns
     n_check: int  # genes under test; G indices [0, n_check)
     G_unpadded: int  # real genes; [G_unpadded, G) are padding
+    # Non-centered parametrization of the gene-level hierarchy: the tree's
+    # intercept/sigma_raw leaves hold standardized residuals (tildes) and the
+    # centered values are reconstructed inside unpack. Pure reparametrization
+    # (identical posterior over constrained quantities) that removes the
+    # hierarchical funnel — NUTS trajectories shorten by orders of magnitude.
+    non_centered: bool = False
 
     @property
     def n_alpha2(self) -> int:
@@ -129,20 +136,37 @@ def tree_to_theta(tree: dict, dims: ModelDims) -> jnp.ndarray:
     return jnp.concatenate(parts)
 
 
-def unpack_tree(tree: dict) -> tuple[dict, jnp.ndarray]:
-    """Unconstrained pytree -> constrained parameters + log-Jacobian."""
+def unpack_tree(tree: dict, non_centered: bool = False) -> tuple[dict, jnp.ndarray]:
+    """Unconstrained pytree -> constrained parameters + log-Jacobian.
+
+    With non_centered=True, the intercept/sigma_raw leaves are standardized
+    residuals: intercept = (lambda_mu + lambda_mu_mu) + lambda_sigma * t_i,
+    sigma_raw = sigma_slope*intercept + sigma_intercept + sigma_sigma * t_s.
+    """
     u_lambda_sigma = tree["lambda_sigma"]
     u_sigma_slope = tree["sigma_slope"]
     u_sigma_sigma = tree["sigma_sigma"]
+    lambda_mu = tree["lambda_mu"] + LAMBDA_MU_MU
+    lambda_sigma = jnp.exp(u_lambda_sigma)
+    sigma_slope = -jnp.exp(u_sigma_slope)
+    sigma_sigma = jnp.exp(u_sigma_sigma)
+    if non_centered:
+        intercept = (lambda_mu + LAMBDA_MU_MU) + lambda_sigma * tree["intercept"]
+        sigma_raw = (
+            sigma_slope * intercept + tree["sigma_intercept"] + sigma_sigma * tree["sigma_raw"]
+        )
+    else:
+        intercept = tree["intercept"]
+        sigma_raw = tree["sigma_raw"]
     params = {
-        "lambda_mu": tree["lambda_mu"] + LAMBDA_MU_MU,
-        "lambda_sigma": jnp.exp(u_lambda_sigma),
+        "lambda_mu": lambda_mu,
+        "lambda_sigma": lambda_sigma,
         "lambda_skew": tree["lambda_skew"],
-        "sigma_slope": -jnp.exp(u_sigma_slope),
+        "sigma_slope": sigma_slope,
         "sigma_intercept": tree["sigma_intercept"],
-        "sigma_sigma": jnp.exp(u_sigma_sigma),
-        "intercept": tree["intercept"],
-        "sigma_raw": tree["sigma_raw"],
+        "sigma_sigma": sigma_sigma,
+        "intercept": intercept,
+        "sigma_raw": sigma_raw,
         "alpha_sub_1": tree["alpha_sub_1"],
         "alpha_2": tree.get("alpha_2", jnp.zeros((0, tree["alpha_sub_1"].shape[0]))),
     }
@@ -152,7 +176,7 @@ def unpack_tree(tree: dict) -> tuple[dict, jnp.ndarray]:
 
 def unpack(theta: jnp.ndarray, dims: ModelDims) -> tuple[dict, jnp.ndarray]:
     """Flat-vector variant of unpack_tree (CPU/small-scale convenience)."""
-    return unpack_tree(theta_to_tree(theta, dims))
+    return unpack_tree(theta_to_tree(theta, dims), dims.non_centered)
 
 
 def make_alpha(params: dict, dims: ModelDims) -> jnp.ndarray:
@@ -188,6 +212,7 @@ def prepare_data(
     n_check: int,
     exclude_mask: np.ndarray | None = None,
     pad_genes_to: int | None = None,
+    non_centered: bool = False,
     dtype=jnp.float32,
 ) -> tuple[ModelData, ModelDims]:
     """Pad + upload model arrays; returns (data, dims)."""
@@ -202,7 +227,10 @@ def prepare_data(
     like = np.tile(gene_mask[None, :], (S, 1))
     if exclude_mask is not None:
         like[:, :G_real] *= ~np.asarray(exclude_mask, dtype=bool)
-    dims = ModelDims(S=S, G=G, C=X.shape[1], n_check=n_check, G_unpadded=G_real)
+    dims = ModelDims(
+        S=S, G=G, C=X.shape[1], n_check=n_check, G_unpadded=G_real,
+        non_centered=non_centered,
+    )
     data = ModelData(
         counts=jnp.asarray(counts_p, dtype=jnp.int32),
         X=jnp.asarray(X, dtype=dtype),
@@ -216,17 +244,18 @@ def prepare_data(
 def lambda_log(params: dict, data: ModelData, dims: ModelDims) -> jnp.ndarray:
     """lambda_log_param[S, G] = X @ alpha (stan:205). MXU matmul."""
     alpha = make_alpha(params, dims)
-    return jnp.dot(data.X, alpha, preferred_element_type=data.X.dtype)
+    return jnp.dot(data.X, alpha, preferred_element_type=data.X.dtype, precision="highest")
 
 
 def log_joint_tree(tree: dict, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
     """Unnormalized log posterior density in unconstrained space (pytree input).
 
-    `likelihood_fn(X, alpha, log_phi, exposure, counts, mask) -> scalar` lets
-    callers swap in the Pallas-fused kernel (ops.nb_kernel.nb_glm_loglik);
-    defaults to the plain-JAX reduction.
+    `likelihood_fn(data, alpha, log_phi) -> scalar` lets callers swap in the
+    Pallas-fused kernel (ops.nb_kernel.nb_glm_likelihood); defaults to the
+    plain-JAX folded reduction (identical math: the parameter-independent
+    lpmf terms are precomputed in prepare_data).
     """
-    params, log_jac = unpack_tree(tree)
+    params, log_jac = unpack_tree(tree, dims.non_centered)
     gm = data.gene_mask
 
     lp = log_jac
@@ -238,48 +267,67 @@ def log_joint_tree(tree: dict, data: ModelData, dims: ModelDims, *, likelihood_f
     lp += normal_lpdf(params["sigma_slope"], 0.0, 2.0)
     lp += normal_lpdf(params["sigma_sigma"], 0.0, 2.0)
 
-    # Gene-wise priors. Note the double lambda_mu_mu shift (stan:219) —
-    # lambda_mu already carries the offset, and the prior location adds it again.
-    lp += jnp.sum(
-        gm
-        * skew_normal_lpdf(
-            params["intercept"],
-            params["lambda_mu"] + LAMBDA_MU_MU,
-            params["lambda_sigma"],
-            params["lambda_skew"],
+    if dims.non_centered:
+        # Standardized-residual priors; the centered values are rebuilt in
+        # unpack_tree. Same posterior as the centered form (stan:219, 223).
+        lp += jnp.sum(
+            gm * skew_normal_lpdf(tree["intercept"], 0.0, 1.0, params["lambda_skew"])
         )
-    )
+        lp += jnp.sum(gm * normal_lpdf(tree["sigma_raw"], 0.0, 1.0))
+    else:
+        # Gene-wise priors. Note the double lambda_mu_mu shift (stan:219) —
+        # lambda_mu already carries the offset, and the prior adds it again.
+        lp += jnp.sum(
+            gm
+            * skew_normal_lpdf(
+                params["intercept"],
+                params["lambda_mu"] + LAMBDA_MU_MU,
+                params["lambda_sigma"],
+                params["lambda_skew"],
+            )
+        )
+        # Mean-overdispersion trend (stan:223) — couples all (real) genes
+        lp += jnp.sum(
+            gm
+            * normal_lpdf(
+                params["sigma_raw"],
+                params["sigma_slope"] * params["intercept"] + params["sigma_intercept"],
+                params["sigma_sigma"],
+            )
+        )
     if dims.C >= 2:
         lp += jnp.sum(double_exponential_lpdf(params["alpha_sub_1"], 0.0, 1.0))
     if dims.C >= 3:
         lp += jnp.sum(normal_lpdf(params["alpha_2"], 0.0, 2.5))
 
-    # Mean-overdispersion trend (stan:223) — couples all (real) genes
-    lp += jnp.sum(
-        gm
-        * normal_lpdf(
-            params["sigma_raw"],
-            params["sigma_slope"] * params["intercept"] + params["sigma_intercept"],
-            params["sigma_sigma"],
-        )
-    )
-
     # Pseudo-prior keeping padded-gene coordinates well-conditioned
     pad = 1.0 - gm
-    lp += jnp.sum(pad * normal_lpdf(params["intercept"], 0.0, 1.0))
-    lp += jnp.sum(pad * normal_lpdf(params["sigma_raw"], 0.0, 1.0))
+    lp += jnp.sum(pad * normal_lpdf(tree["intercept"], 0.0, 1.0))
+    lp += jnp.sum(pad * normal_lpdf(tree["sigma_raw"], 0.0, 1.0))
 
     # Likelihood (stan:97-115): NB2-log with exclusion mask
     log_phi_vec = -params["sigma_raw"]  # log sigma = -sigma_raw (stan:203)
     if likelihood_fn is None:
-        eta = data.exposure_rate[:, None] + lambda_log(params, data, dims)
-        lp += jnp.sum(data.like_mask * nb2_log_lpmf(data.counts, eta, log_phi_vec[None, :]))
+        lp += masked_likelihood(data, make_alpha(params, dims), log_phi_vec)
     else:
-        alpha = make_alpha(params, dims)
-        lp += likelihood_fn(
-            data.X, alpha, log_phi_vec, data.exposure_rate, data.counts, data.like_mask
-        )
+        lp += likelihood_fn(data, make_alpha(params, dims), log_phi_vec)
     return lp
+
+
+def masked_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
+    """Masked NB2-log likelihood via the float32-stable decomposition.
+
+    Every per-point term is O(|lpmf|)-moderate (ops.nb.nb2_log_lpmf_stable),
+    so the float32 reduction keeps the absolute accuracy NUTS energy
+    differences need.
+    """
+    eta = data.exposure_rate[:, None] + jnp.dot(
+        data.X, alpha, preferred_element_type=data.X.dtype, precision="highest"
+    )
+    pts = nb2_log_lpmf_stable(
+        data.counts, eta, jnp.broadcast_to(log_phi[None, :], eta.shape)
+    )
+    return jnp.sum(data.like_mask * pts)
 
 
 def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
@@ -302,7 +350,7 @@ def extract_lambda_sigma_draws(thetas, data: ModelData, dims: ModelDims):
     (R/utilities.R:1373).
     """
     def one_tree(tree):
-        params, _ = unpack_tree(tree)
+        params, _ = unpack_tree(tree, dims.non_centered)
         ll = lambda_log(params, data, dims)
         return ll[:, : dims.n_check], params["sigma_raw"][: dims.n_check]
 
@@ -379,6 +427,16 @@ def smart_init(data: ModelData, dims: ModelDims, as_tree: bool = False):
     if dims.C >= 3:
         lo, hi = o["alpha_2"]
         theta[lo:hi] = beta[2:, : dims.n_check].reshape(-1)
+
+    if dims.non_centered:
+        # convert centered estimates to standardized residuals
+        ic = theta[o["intercept"][0] : o["intercept"][1]]
+        sr = theta[o["sigma_raw"][0] : o["sigma_raw"][1]]
+        t_i = (ic - lam_mu) / lam_sd
+        t_s = (sr - (s_int + s_slope * ic)) / s_sigma
+        theta[o["intercept"][0] : o["intercept"][1]] = np.where(real, t_i, 0.0)
+        theta[o["sigma_raw"][0] : o["sigma_raw"][1]] = np.where(real, t_s, 0.0)
+
     if as_tree:
         return theta_to_tree(jnp.asarray(theta), dims)
     return theta

@@ -95,6 +95,7 @@ def tmm_norm_factors(
     counts: np.ndarray,
     ref_column: int | None = None,
     lib_size: np.ndarray | None = None,
+    use_native: bool | None = None,
 ) -> np.ndarray:
     """TMM norm factors for a [genes, samples] count matrix.
 
@@ -102,7 +103,21 @@ def tmm_norm_factors(
     is None the column whose 0.75-quantile scaled expression is closest to
     the mean is chosen (edgeR default); the reference pipeline always passes
     an explicit reference column (R/tidybulk.R:299-301).
+
+    Dispatches to the native C++ implementation (native/ppcseq_native.cpp)
+    when built and no custom lib_size is given; the NumPy path is the
+    semantic reference.
     """
+    from ppcseq_tpu import _native
+
+    if (
+        (use_native or use_native is None)
+        and _native.available()
+        and lib_size is None
+        and ref_column is not None
+    ):
+        return _native.tmm_norm_factors(np.asarray(counts, dtype=np.float64), int(ref_column))
+
     x = np.asarray(counts, dtype=np.float64)
     if np.isnan(x).any():
         raise ValueError("NA counts not permitted")

@@ -12,6 +12,8 @@ Var = mu + mu^2 / phi.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
@@ -38,6 +40,91 @@ def nb2_log_lpmf(y, eta, log_phi):
         + yf * eta
         - (yf + phi) * log_mu_phi
     )
+
+
+def nb2_log_lpmf_stable(y, eta, log_phi):
+    """NB2-log lpmf decomposed into float32-moderate terms.
+
+    Mathematically identical to nb2_log_lpmf, but every intermediate stays
+    O(|lpmf|)-moderate so a float32 sum over millions of points keeps
+    absolute accuracy ~1e-1 instead of ~1e1 — NUTS energy differences need
+    this (the naive form's partials reach 1e7 and f32 resolution there is
+    ~1, which silently destroys U-turn/acceptance statistics).
+
+        lpmf = part1 + phi*(log_phi - L) + y*(eta - L),  L = logaddexp(eta, log_phi)
+        part1 = lgamma(y+phi) - lgamma(y+1) - lgamma(phi)   [log binomial coeff]
+
+    part1 branches:
+      y <= 7:          sum_{k<y} [log(phi+k) - log(k+1)]           (exact)
+      y >= 8, phi >= 8: fully-cancelled Stirling difference:
+        (a2-.5)*log1p(d/a2) + (phi-1)*log1p(y/phi) - .5*log(phi)
+        + 1 - .5*log(2*pi) + series corrections, a2=y+1, d=phi-1
+      y >= 8, phi < 8:  Stirling difference for the y-pair minus lgamma(phi)
+
+    Uses only exp/log/log1p — safe for Pallas Mosaic lowering.
+    """
+    dtype = eta.dtype
+    yf = y.astype(dtype) if jnp.issubdtype(y.dtype, jnp.integer) else y
+    phi = jnp.exp(log_phi)
+    L = jnp.logaddexp(eta, log_phi)
+    part23 = phi * (log_phi - L) + yf * (eta - L)
+
+    # --- branch A: y <= 7 (exact product form) -------------------------
+    partA = jnp.zeros_like(eta)
+    for k in range(7):
+        partA = partA + jnp.where(
+            yf > k, jnp.log(phi + k) - LOG_KP1[k], 0.0
+        )
+
+    # --- Stirling difference for lgamma(y+phi) - lgamma(y+1), y >= 8 ---
+    a1 = yf + phi
+    a2 = yf + 1.0
+    d = phi - 1.0
+    ys = jnp.maximum(yf, 8.0)  # keep the unused branch finite
+    a1s = ys + phi
+    a2s = ys + 1.0
+    corr12 = (1.0 / 12.0) * (1.0 / a1s - 1.0 / a2s)
+    corr360 = (-1.0 / 360.0) * (1.0 / a1s**3 - 1.0 / a2s**3)
+    pair = (a2s - 0.5) * jnp.log1p(d / a2s) + corr12 + corr360
+
+    # --- branch B: y >= 8, phi >= 8 (fully cancelled) ------------------
+    phis = jnp.maximum(phi, 8.0)
+    partB = (
+        pair
+        + (phis - 1.0) * jnp.log1p(ys / phis)
+        - 0.5 * jnp.log(phis)
+        + 1.0
+        - 0.5 * jnp.log(2.0 * jnp.pi)
+        - 1.0 / (12.0 * phis)
+        + 1.0 / (360.0 * phis**3)
+    )
+
+    # --- branch C: y >= 8, phi < 8 -------------------------------------
+    partC = pair + d * jnp.log(a1s) - d - _lgamma_pos_small(jnp.minimum(phi, 8.0))
+
+    part1 = jnp.where(yf <= 7.0, partA, jnp.where(phi >= 8.0, partB, partC))
+    return part1 + part23
+
+
+# log(k+1) for k = 0..6
+LOG_KP1 = [0.0] + [math.log(k + 1) for k in range(1, 7)]
+
+
+def _lgamma_pos_small(x):
+    """lgamma for 0 < x <= 8 via shift-by-8 Stirling (moderate output)."""
+    xs = x + 8.0
+    inv = 1.0 / xs
+    inv2 = inv * inv
+    stirling = (
+        (xs - 0.5) * jnp.log(xs)
+        - xs
+        + 0.5 * jnp.log(2.0 * jnp.pi)
+        + inv * (1.0 / 12.0 + inv2 * (-1.0 / 360.0 + inv2 * (1.0 / 1260.0)))
+    )
+    shift = jnp.zeros_like(x)
+    for k in range(8):
+        shift = shift + jnp.log(x + k)
+    return stirling - shift
 
 
 def normal_lpdf(x, mu, sigma):

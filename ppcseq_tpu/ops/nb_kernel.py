@@ -6,22 +6,28 @@ model's likelihood (inst/stan/negBinomial_MPI.stan:97-115):
     sum_{s,g} mask[s,g] * NB2_log_lpmf(counts[s,g] | exposure[s] + (X@alpha)[s,g],
                                         phi[g] = exp(log_phi[g]))
 
-Stan evaluates this in C++ threads with autodiff tape; here it is one fused
-Pallas kernel per direction:
+Stan evaluates this in C++ threads with an autodiff tape; here it is one
+fused Pallas kernel per direction:
 
-- forward: grid over gene tiles; eta = X @ alpha_tile (C is tiny, so the
-  matmul is negligible FLOPs but fusing it avoids materializing [S, G]
-  arrays in HBM — counts/mask are the only large inputs read), then the lpmf
-  and a masked reduction to one scalar accumulated across the grid.
-- backward: recomputes eta (cheaper than storing it) and contracts the
-  elementwise derivatives into dalpha[C, G] and dlog_phi[G] directly —
-  X, counts, exposure and mask are constants of the fit, so no [S, G]
-  cotangent ever hits HBM.
+- forward: grid over gene tiles; eta = X @ alpha_tile recomputed in VMEM
+  (C is tiny, so fusing the matmul costs nothing and avoids materializing
+  [S, G] arrays in HBM — counts/mask are the only large inputs read), then
+  the float32-stable lpmf decomposition (ops.nb.nb2_log_lpmf_stable: every
+  per-point term is O(|lpmf|)-moderate, which NUTS energy differences
+  require in f32) and a masked reduction to one scalar accumulated across
+  the grid.
+- backward: recomputes eta and contracts the elementwise derivatives into
+  dalpha[C, G] and dlog_phi[G] directly — X, counts, exposure and mask are
+  constants of the fit, so no [S, G] cotangent ever hits HBM. digamma(phi)
+  is evaluated on the [1, T] gene row, not per point.
 
-`nb_glm_loglik` is the public entry: custom-VJP, differentiable in alpha and
-log_phi. On non-TPU backends it falls back to the plain-JAX reference
-implementation (`ppcseq_tpu.ops.nb`), which is also the ground truth for the
-kernel's unit tests (interpret mode).
+lgamma/digamma have no Mosaic lowering; the stable lpmf uses only
+exp/log/log1p, and the backward's digamma is implemented from elementwise
+primitives.
+
+`nb_glm_likelihood(data, alpha, log_phi)` is the public entry: custom-VJP,
+differentiable in alpha and log_phi, drop-in for nb_model.masked_likelihood
+(which is also its unit-test ground truth).
 """
 
 from __future__ import annotations
@@ -33,36 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ppcseq_tpu.ops.nb import nb2_log_lpmf
+from ppcseq_tpu.ops.nb import nb2_log_lpmf, nb2_log_lpmf_stable
 
 DEFAULT_GENE_TILE = 512
-
-_HALF_LOG_2PI = 0.9189385332046727
-
-
-def _lgamma_pos(x):
-    """lgamma for x > 0 from elementwise primitives (no Mosaic lgamma).
-
-    Stirling's series with 3 correction terms for x >= 8, with the
-    recurrence lgamma(x) = lgamma(x+8) - sum log(x+k) below. Relative error
-    well under float32 resolution on (0, inf).
-    """
-    small = x < 8.0
-    # shift small arguments up by 8 (value irrelevant for the large branch)
-    xs = jnp.where(small, x + 8.0, x)
-    inv = 1.0 / xs
-    inv2 = inv * inv
-    stirling = (
-        (xs - 0.5) * jnp.log(xs)
-        - xs
-        + _HALF_LOG_2PI
-        + inv * (1.0 / 12.0 + inv2 * (-1.0 / 360.0 + inv2 * (1.0 / 1260.0)))
-    )
-    # log(x (x+1) ... (x+7)) as a sum of logs (avoids overflow)
-    shift = jnp.zeros_like(x)
-    for k in range(8):
-        shift = shift + jnp.log(x + k)
-    return jnp.where(small, stirling - shift, stirling)
 
 
 def _digamma_pos(x):
@@ -82,21 +61,6 @@ def _digamma_pos(x):
     return jnp.where(small, asym - shift, asym)
 
 
-def _lpmf_terms(counts, eta, log_phi_row):
-    """Elementwise NB2-log lpmf given eta[S,T], log_phi_row[1,T]."""
-    y = counts.astype(eta.dtype)
-    phi = jnp.exp(log_phi_row)
-    log_mu_phi = jnp.logaddexp(eta, log_phi_row)
-    return (
-        _lgamma_pos(y + phi)
-        - _lgamma_pos(phi)
-        - _lgamma_pos(y + 1.0)
-        + phi * log_phi_row
-        + y * eta
-        - (y + phi) * log_mu_phi
-    )
-
-
 def _fwd_kernel(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, out_ref):
     i = pl.program_id(0)
 
@@ -105,18 +69,17 @@ def _fwd_kernel(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, ou
         out_ref[0, 0] = jnp.zeros((), out_ref.dtype)
 
     eta = (
-        jnp.dot(x_ref[:, :], alpha_ref[:, :], preferred_element_type=jnp.float32)
+        jnp.dot(x_ref[:, :], alpha_ref[:, :], preferred_element_type=jnp.float32, precision="highest")
         + expo_ref[:, :]
     )
-    terms = _lpmf_terms(counts_ref[:, :], eta, logphi_ref[:, :])
-    out_ref[0, 0] += jnp.sum(terms * mask_ref[:, :])
+    log_phi = jnp.broadcast_to(logphi_ref[:, :], eta.shape)
+    pts = nb2_log_lpmf_stable(counts_ref[:, :], eta, log_phi)
+    out_ref[0, 0] += jnp.sum(pts * mask_ref[:, :])
 
 
-def _bwd_kernel(
-    x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, dalpha_ref, dlogphi_ref
-):
+def _bwd_kernel(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, dalpha_ref, dlogphi_ref):
     eta = (
-        jnp.dot(x_ref[:, :], alpha_ref[:, :], preferred_element_type=jnp.float32)
+        jnp.dot(x_ref[:, :], alpha_ref[:, :], preferred_element_type=jnp.float32, precision="highest")
         + expo_ref[:, :]
     )
     y = counts_ref[:, :].astype(eta.dtype)
@@ -127,24 +90,13 @@ def _bwd_kernel(
     q = jnp.exp(log_phi - log_mu_phi)  # phi / (mu + phi)
 
     mask = mask_ref[:, :]
-    # d lpmf / d eta
     deta = mask * (y - (y + phi) * p)
-    # d lpmf / d log_phi
+    dg_phi_row = _digamma_pos(jnp.exp(logphi_ref[:, :]))  # [1, T], broadcast below
     dlogphi_elem = mask * (
-        phi
-        * (
-            _digamma_pos(y + phi)
-            - _digamma_pos(phi)
-            + log_phi
-            + 1.0
-            - log_mu_phi
-        )
+        phi * (_digamma_pos(y + phi) - dg_phi_row + log_phi + 1.0 - log_mu_phi)
         - (y + phi) * q
     )
-    # contract: dalpha[C, T] = X^T @ deta ; dlog_phi[1, T] = col-sums
-    dalpha_ref[:, :] = jnp.dot(
-        x_ref[:, :].T, deta, preferred_element_type=jnp.float32
-    )
+    dalpha_ref[:, :] = jnp.dot(x_ref[:, :].T, deta, preferred_element_type=jnp.float32, precision="highest")
     dlogphi_ref[:, :] = jnp.sum(dlogphi_elem, axis=0, keepdims=True)
 
 
@@ -157,64 +109,51 @@ def _pad_axis(a, axis, to):
     return jnp.pad(a, widths)
 
 
-def _pallas_forward(X, alpha, log_phi, exposure, counts, mask, *, gene_tile, interpret):
+def _prep(X, alpha, log_phi, exposure, counts, mask, gene_tile):
     S, C = X.shape
     G = alpha.shape[1]
     T = min(gene_tile, G)
     G_pad = -(-G // T) * T
-    alpha_p = _pad_axis(alpha, 1, G_pad)
-    logphi_p = _pad_axis(log_phi.reshape(1, -1), 1, G_pad)
-    counts_p = _pad_axis(counts, 1, G_pad)
-    mask_p = _pad_axis(mask, 1, G_pad)
-    grid = (G_pad // T,)
+    args = (
+        X.astype(jnp.float32),
+        exposure.reshape(S, 1).astype(jnp.float32),
+        _pad_axis(counts, 1, G_pad),
+        _pad_axis(alpha, 1, G_pad).astype(jnp.float32),
+        _pad_axis(log_phi.reshape(1, -1), 1, G_pad).astype(jnp.float32),
+        _pad_axis(mask, 1, G_pad).astype(jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    return args, in_specs, (G_pad // T,), T, G_pad
 
+
+def _pallas_forward(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret):
+    args, in_specs, grid, T, G_pad = _prep(X, alpha, log_phi, exposure, counts, mask, gene_tile)
     out = pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
-    )(
-        X.astype(jnp.float32),
-        exposure.reshape(S, 1).astype(jnp.float32),
-        counts_p,
-        alpha_p.astype(jnp.float32),
-        logphi_p.astype(jnp.float32),
-        mask_p.astype(jnp.float32),
-    )
+    )(*args)
     return out[0, 0]
 
 
-def _pallas_backward(X, alpha, log_phi, exposure, counts, mask, *, gene_tile, interpret):
+def _pallas_backward(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret):
     S, C = X.shape
     G = alpha.shape[1]
-    T = min(gene_tile, G)
-    G_pad = -(-G // T) * T
-    alpha_p = _pad_axis(alpha, 1, G_pad)
-    logphi_p = _pad_axis(log_phi.reshape(1, -1), 1, G_pad)
-    counts_p = _pad_axis(counts, 1, G_pad)
-    mask_p = _pad_axis(mask, 1, G_pad)
-    grid = (G_pad // T,)
-
+    args, in_specs, grid, T, G_pad = _prep(X, alpha, log_phi, exposure, counts, mask, gene_tile)
     dalpha, dlogphi = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -224,50 +163,51 @@ def _pallas_backward(X, alpha, log_phi, exposure, counts, mask, *, gene_tile, in
             jax.ShapeDtypeStruct((1, G_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(
-        X.astype(jnp.float32),
-        exposure.reshape(S, 1).astype(jnp.float32),
-        counts_p,
-        alpha_p.astype(jnp.float32),
-        logphi_p.astype(jnp.float32),
-        mask_p.astype(jnp.float32),
-    )
+    )(*args)
     return dalpha[:, :G], dlogphi[0, :G]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def nb_glm_loglik(
-    X, alpha, log_phi, exposure, counts, mask, gene_tile=DEFAULT_GENE_TILE, interpret=False
+def _masked_loglik(
+    X, alpha, log_phi, exposure, counts, mask,
+    gene_tile=DEFAULT_GENE_TILE, interpret=False,
 ):
-    """Masked NB2-log GLM likelihood, fused on TPU.
-
-    Differentiable in alpha [C, G] and log_phi [G]; X/exposure/counts/mask
-    are data. Returns a float32 scalar.
-    """
-    return _pallas_forward(
-        X, alpha, log_phi, exposure, counts, mask, gene_tile=gene_tile, interpret=interpret
-    )
+    return _pallas_forward(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret)
 
 
 def _vjp_fwd(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret):
-    out = _pallas_forward(
-        X, alpha, log_phi, exposure, counts, mask, gene_tile=gene_tile, interpret=interpret
-    )
+    out = _pallas_forward(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret)
     return out, (X, alpha, log_phi, exposure, counts, mask)
 
 
 def _vjp_bwd(gene_tile, interpret, residuals, g):
     X, alpha, log_phi, exposure, counts, mask = residuals
     dalpha, dlogphi = _pallas_backward(
-        X, alpha, log_phi, exposure, counts, mask, gene_tile=gene_tile, interpret=interpret
+        X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret
     )
     return (None, g * dalpha, g * dlogphi, None, None, None)
 
 
-nb_glm_loglik.defvjp(_vjp_fwd, _vjp_bwd)
+_masked_loglik.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def nb_glm_likelihood(data, alpha, log_phi, gene_tile=DEFAULT_GENE_TILE, interpret=False):
+    """Drop-in Pallas replacement for nb_model.masked_likelihood.
+
+    `data` is a nb_model.ModelData; differentiable in alpha [C, G] and
+    log_phi [G]. Pass as `likelihood_fn` to nb_model.make_log_density.
+    """
+    return _masked_loglik(
+        data.X, alpha, log_phi, data.exposure_rate, data.counts, data.like_mask,
+        gene_tile, interpret,
+    )
+
+
+def make_pallas_likelihood(gene_tile=DEFAULT_GENE_TILE, interpret=False):
+    return functools.partial(nb_glm_likelihood, gene_tile=gene_tile, interpret=interpret)
 
 
 def nb_glm_loglik_reference(X, alpha, log_phi, exposure, counts, mask):
-    """Plain-JAX semantic reference (and non-TPU fallback)."""
+    """Plain-JAX unfolded semantic reference (ground truth for kernel tests)."""
     eta = exposure[:, None] + X @ alpha
     return jnp.sum(mask * nb2_log_lpmf(counts, eta, jnp.broadcast_to(log_phi[None, :], eta.shape)))

@@ -36,6 +36,30 @@ def test_nb2_lpmf_matches_scipy():
     np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-5)
 
 
+def test_nb2_lpmf_stable_decomposition_matches_scipy():
+    from ppcseq_tpu.ops.nb import nb2_log_lpmf_stable
+
+    rng = np.random.default_rng(11)
+    y = np.concatenate([rng.integers(0, 8, 500), rng.integers(8, 30000, 500)])
+    eta = rng.normal(3.0, 3.0, 1000)
+    log_phi = rng.normal(0.0, 3.0, 1000)
+    mu, phi = np.exp(eta), np.exp(log_phi)
+    want = st.nbinom.logpmf(y, phi, phi / (phi + mu))
+    got = np.asarray(
+        nb2_log_lpmf_stable(jnp.asarray(y), jnp.asarray(eta), jnp.asarray(log_phi))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # float32 absolute error must stay small enough for NUTS energy diffs
+    got32 = np.asarray(
+        nb2_log_lpmf_stable(
+            jnp.asarray(y), jnp.asarray(eta, jnp.float32), jnp.asarray(log_phi, jnp.float32)
+        ),
+        dtype=np.float64,
+    )
+    assert np.abs(got32 - want).max() < 0.05
+    assert abs(got32.sum() - want.sum()) < 0.25
+
+
 def test_nb2_lpmf_extreme_values_stable():
     y = jnp.array([0, 100000], dtype=jnp.int32)
     eta = jnp.array([-30.0, 30.0])
@@ -142,6 +166,38 @@ def test_log_joint_padding_invariance():
     n_pad = dims_p.G - dims.G
     pseudo = 2 * n_pad * float(normal_lpdf(jnp.asarray(0.0), 0.0, 1.0))
     np.testing.assert_allclose(lp_p - pseudo, lp, rtol=1e-10)
+
+
+def test_non_centered_is_change_of_variables():
+    """NC density == centered density at the mapped point + log|Jacobian|.
+
+    intercept = loc + lambda_sigma * t_i and sigma_raw = trend +
+    sigma_sigma * t_s per real gene, so the densities differ by exactly
+    G_real * (log lambda_sigma + log sigma_sigma).
+    """
+    rng = np.random.default_rng(7)
+    S, G, n_check = 5, 8, 3
+    counts = rng.integers(0, 300, size=(S, G))
+    X = np.column_stack([np.ones(S), rng.integers(0, 2, size=S).astype(float)])
+    exposure = rng.normal(0, 0.2, size=S)
+    data_c, dims_c = prepare_data(counts, X, exposure, n_check, dtype=jnp.float64)
+    data_nc, dims_nc = prepare_data(
+        counts, X, exposure, n_check, non_centered=True, dtype=jnp.float64
+    )
+
+    from ppcseq_tpu.model.nb_model import log_joint_tree, theta_to_tree, unpack_tree
+
+    theta_nc = theta_to_tree(jnp.asarray(rng.normal(size=dims_nc.dim) * 0.3), dims_nc)
+    params, _ = unpack_tree(theta_nc, non_centered=True)
+    theta_c = dict(theta_nc)
+    theta_c["intercept"] = params["intercept"]
+    theta_c["sigma_raw"] = params["sigma_raw"]
+
+    lp_nc = float(log_joint_tree(theta_nc, data_nc, dims_nc))
+    lp_c = float(log_joint_tree(theta_c, data_c, dims_c))
+    jac = G * (np.log(float(params["lambda_sigma"])) + np.log(float(params["sigma_sigma"])))
+    # padded genes: none here (G == G_unpadded), so the identity is exact
+    np.testing.assert_allclose(lp_nc - lp_c, jac, rtol=1e-9)
 
 
 def test_log_joint_exclusion_mask_subtracts_lpmf():

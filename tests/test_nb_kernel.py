@@ -1,4 +1,4 @@
-"""Pallas NB GLM kernel vs the plain-JAX reference (interpret mode on CPU)."""
+"""Pallas NB GLM kernel vs the plain-JAX references (interpret mode on CPU)."""
 
 import numpy as np
 import pytest
@@ -6,10 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ppcseq_tpu.ops.nb_kernel import nb_glm_loglik, nb_glm_loglik_reference
+from ppcseq_tpu.model import nb_model
+from ppcseq_tpu.ops.nb_kernel import nb_glm_likelihood, nb_glm_loglik_reference
 
 
-def _case(S=21, G=300, C=2, seed=0):
+def _case(S=21, G=300, C=2, n_check=4, seed=0, exclude_frac=0.05):
     rng = np.random.default_rng(seed)
     X = np.column_stack([np.ones(S)] + [rng.integers(0, 2, S).astype(float) for _ in range(C - 1)])
     alpha = rng.normal(4.0, 1.0, size=(C, G))
@@ -17,42 +18,56 @@ def _case(S=21, G=300, C=2, seed=0):
     log_phi = rng.normal(0.0, 1.0, size=G)
     exposure = rng.normal(0.0, 0.3, size=S)
     eta = exposure[:, None] + X @ alpha
-    counts = rng.poisson(np.minimum(np.exp(eta), 1e6)).astype(np.int32)
-    mask = (rng.uniform(size=(S, G)) > 0.05).astype(np.float64)
-    return (
-        jnp.asarray(X, jnp.float32),
-        jnp.asarray(alpha, jnp.float32),
-        jnp.asarray(log_phi, jnp.float32),
-        jnp.asarray(exposure, jnp.float32),
-        jnp.asarray(counts),
-        jnp.asarray(mask, jnp.float32),
+    counts = rng.poisson(np.minimum(np.exp(eta), 1e6)).astype(np.int64)
+    exclude = rng.uniform(size=(S, G)) < exclude_frac
+    data, dims = nb_model.prepare_data(
+        counts, X, exposure, n_check, exclude_mask=exclude, dtype=jnp.float64
+    )
+    return data, dims, jnp.asarray(alpha, jnp.float64), jnp.asarray(log_phi, jnp.float64)
+
+
+def _reference_value(data, alpha, log_phi):
+    return nb_glm_loglik_reference(
+        jnp.asarray(data.X, jnp.float64),
+        jnp.asarray(alpha, jnp.float64),
+        jnp.asarray(log_phi, jnp.float64),
+        jnp.asarray(data.exposure_rate, jnp.float64),
+        data.counts,
+        jnp.asarray(data.like_mask, jnp.float64),
     )
 
 
-def test_forward_matches_reference():
-    args = _case()
-    got = nb_glm_loglik(*args, 128, True)
-    want = nb_glm_loglik_reference(*[a.astype(jnp.float64) for a in args[:4]] + [args[4], args[5].astype(jnp.float64)])
-    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+def test_stable_likelihood_equals_unfolded():
+    data, dims, alpha, log_phi = _case()
+    stable = nb_model.masked_likelihood(data, alpha, log_phi)
+    want = _reference_value(data, alpha, log_phi)
+    np.testing.assert_allclose(float(stable), float(want), rtol=1e-10)
 
 
-def test_forward_unaligned_gene_count():
-    # G not a multiple of the tile: padding path
-    args = _case(G=37)
-    got = nb_glm_loglik(*args, 128, True)
-    want = nb_glm_loglik_reference(*args)
+def test_kernel_forward_matches_reference():
+    data, dims, alpha, log_phi = _case()
+    got = nb_glm_likelihood(data, alpha, log_phi, 128, True)
+    want = _reference_value(data, alpha, log_phi)
     np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
 
 
-def test_gradients_match_reference():
-    args = _case(S=8, G=64, C=3, seed=1)
-    X, alpha, log_phi, exposure, counts, mask = args
+def test_kernel_forward_unaligned_gene_count():
+    data, dims, alpha, log_phi = _case(G=37)
+    got = nb_glm_likelihood(data, alpha, log_phi, 128, True)
+    want = _reference_value(data, alpha, log_phi)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_kernel_gradients_match_reference():
+    data, dims, alpha, log_phi = _case(S=8, G=64, C=3, seed=1)
 
     def f_kernel(alpha, log_phi):
-        return nb_glm_loglik(X, alpha, log_phi, exposure, counts, mask, 64, True)
+        return nb_glm_likelihood(data, alpha, log_phi, 64, True)
 
     def f_ref(alpha, log_phi):
-        return nb_glm_loglik_reference(X, alpha, log_phi, exposure, counts, mask)
+        return nb_glm_loglik_reference(
+            data.X, alpha, log_phi, data.exposure_rate, data.counts, data.like_mask
+        )
 
     ga_k, gp_k = jax.grad(f_kernel, argnums=(0, 1))(alpha, log_phi)
     ga_r, gp_r = jax.grad(f_ref, argnums=(0, 1))(alpha, log_phi)
@@ -60,14 +75,32 @@ def test_gradients_match_reference():
     np.testing.assert_allclose(np.asarray(gp_k), np.asarray(gp_r), rtol=3e-3, atol=3e-2)
 
 
-def test_gradient_respects_mask():
-    args = _case(S=4, G=16, C=2, seed=2)
-    X, alpha, log_phi, exposure, counts, mask = args
-    mask = mask.at[:, 3].set(0.0)
-
+def test_kernel_gradient_respects_mask():
+    data, dims, alpha, log_phi = _case(S=4, G=16, C=2, seed=2, exclude_frac=0.0)
+    # mask out gene 3 entirely
+    like = np.asarray(data.like_mask).copy()
+    like[:, 3] = 0.0
+    data = nb_model.ModelData(**{
+        **data.__dict__,
+        "like_mask": jnp.asarray(like, jnp.float32),
+    })
     ga, gp = jax.grad(
-        lambda a, p: nb_glm_loglik(X, a, p, exposure, counts, mask, 16, True),
-        argnums=(0, 1),
+        lambda a, p: nb_glm_likelihood(data, a, p, 16, True), argnums=(0, 1)
     )(alpha, log_phi)
     np.testing.assert_array_equal(np.asarray(ga[:, 3]), 0.0)
     np.testing.assert_array_equal(np.asarray(gp[3]), 0.0)
+
+
+def test_log_joint_with_kernel_matches_plain():
+    from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
+
+    data, dims, _, _ = _case(S=6, G=32, n_check=3)
+    theta = nb_model.smart_init(data, dims, as_tree=True)
+    lp_plain = float(nb_model.log_joint_tree(theta, data, dims))
+    lp_kernel = float(
+        nb_model.log_joint_tree(
+            theta, data, dims, likelihood_fn=make_pallas_likelihood(32, True)
+        )
+    )
+    # kernel computes in float32 internally; the plain path here is float64
+    np.testing.assert_allclose(lp_kernel, lp_plain, rtol=3e-4)

@@ -70,19 +70,27 @@ def main():
     per_chain = 330  # 32 * 330 = 10560 >= 10500
     total_draws = num_chains * per_chain
 
-    # warm the compile cache with a single short run
-    _ = run_nuts(
-        log_density, zeros_tree(dims), jax.random.PRNGKey(1),
-        num_chains=num_chains, num_warmup=num_warmup, num_draws=per_chain,
-        init_theta=init,
-    )
+    from ppcseq_tpu.infer.advi import fit_advi
+
+    def one_run(seed):
+        # ADVI warm start (init + mass matrix), then NUTS — the pipeline's
+        # actual sampling path; its cost is included in the timed run.
+        warm = fit_advi(
+            log_density, zeros_tree(dims), jax.random.PRNGKey(seed + 7),
+            init_mean=init, tol_rel_obj=0.01, learning_rate=0.2,
+        )
+        inv_mass = jax.tree.map(lambda ls: jnp.exp(2.0 * ls), warm.log_sd)
+        return run_nuts(
+            log_density, zeros_tree(dims), jax.random.PRNGKey(seed),
+            num_chains=num_chains, num_warmup=num_warmup, num_draws=per_chain,
+            init_theta=warm.mean, inv_mass_init=inv_mass,
+        )
+
+    # warm the compile cache with one full run
+    _ = one_run(1)
 
     t0 = time.time()
-    res = run_nuts(
-        log_density, zeros_tree(dims), jax.random.PRNGKey(0),
-        num_chains=num_chains, num_warmup=num_warmup, num_draws=per_chain,
-        init_theta=init,
-    )
+    res = one_run(0)
     elapsed = time.time() - t0
 
     draws_per_sec = total_draws / elapsed

@@ -66,8 +66,14 @@ def nb2_log_lpmf_stable(y, eta, log_phi):
     dtype = eta.dtype
     yf = y.astype(dtype) if jnp.issubdtype(y.dtype, jnp.integer) else y
     phi = jnp.exp(log_phi)
-    L = jnp.logaddexp(eta, log_phi)
-    part23 = phi * (log_phi - L) + yf * (eta - L)
+    # Never form L = logaddexp(eta, log_phi) at its own magnitude: the small
+    # quantities (eta - L) and (log_phi - L) are computed directly via
+    # softplus so their float32 error stays relative to their OWN size —
+    # multiplying by counts up to ~1e5 would otherwise amplify the ~1e-6
+    # cancellation error of (eta - L) into O(0.1) log-density roughness,
+    # which wrecks NUTS step-size adaptation on TPU.
+    d = eta - log_phi
+    part23 = -phi * _softplus(d) - yf * _softplus(-d)
 
     # --- branch A: y <= 7 (exact product form) -------------------------
     partA = jnp.zeros_like(eta)
@@ -108,6 +114,11 @@ def nb2_log_lpmf_stable(y, eta, log_phi):
 
 # log(k+1) for k = 0..6
 LOG_KP1 = [0.0] + [math.log(k + 1) for k in range(1, 7)]
+
+
+def _softplus(x):
+    """log(1 + exp(x)), stable for both signs."""
+    return jnp.where(x > 0, x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
 def _lgamma_pos_small(x):

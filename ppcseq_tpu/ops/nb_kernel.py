@@ -85,15 +85,18 @@ def _bwd_kernel(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, da
     y = counts_ref[:, :].astype(eta.dtype)
     log_phi = logphi_ref[:, :]
     phi = jnp.exp(log_phi)
-    log_mu_phi = jnp.logaddexp(eta, log_phi)
-    p = jnp.exp(eta - log_mu_phi)  # mu / (mu + phi)
-    q = jnp.exp(log_phi - log_mu_phi)  # phi / (mu + phi)
+    # p = mu/(mu+phi), q = phi/(mu+phi) via sigmoid (no logaddexp cancellation)
+    d = eta - log_phi
+    p = jax.nn.sigmoid(d)
+    q = jax.nn.sigmoid(-d)
+    softplus_d = jnp.where(d > 0, d, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(d)))
 
     mask = mask_ref[:, :]
     deta = mask * (y - (y + phi) * p)
     dg_phi_row = _digamma_pos(jnp.exp(logphi_ref[:, :]))  # [1, T], broadcast below
+    # log_phi + 1 - logaddexp(eta, log_phi) == 1 - softplus(d)
     dlogphi_elem = mask * (
-        phi * (_digamma_pos(y + phi) - dg_phi_row + log_phi + 1.0 - log_mu_phi)
+        phi * (_digamma_pos(y + phi) - dg_phi_row + 1.0 - softplus_d)
         - (y + phi) * q
     )
     dalpha_ref[:, :] = jnp.dot(x_ref[:, :].T, deta, preferred_element_type=jnp.float32, precision="highest")

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ppcseq_tpu.data import ingest
 from ppcseq_tpu.formula.design import create_design_matrix, parse_formula
-from ppcseq_tpu.infer.advi import advi_sample, vb_iterative
+from ppcseq_tpu.infer.advi import advi_sample, fit_advi, vb_iterative
 from ppcseq_tpu.infer.chains import chains_for_run, mcmc_iterations
 from ppcseq_tpu.infer.nuts import run_nuts
 from ppcseq_tpu.model import nb_model
@@ -134,12 +134,24 @@ def do_inference(
     else:
         chains = chains_for_run(draws_practical, cores)
         per_chain = mcmc_iterations(draws_practical, chains)
+        # ADVI warm start: a quick meanfield fit supplies the NUTS initial
+        # point and diagonal mass matrix. Cold Welford adaptation over ~1000
+        # dims from 150 warmup iterations is fragile (and bifurcates into a
+        # tiny-step basin under TPU f32 evaluation roughness); the ADVI
+        # scales make step-size search start in the right regime.
+        warm = fit_advi(
+            log_density, proto, jax.random.fold_in(k_fit, 99),
+            init_mean=init_theta, tol_rel_obj=0.01, learning_rate=0.2,
+            dtype=dtype,
+        )
+        inv_mass = jax.tree.map(lambda ls: jnp.exp(2.0 * ls), warm.log_sd)
         res = run_nuts(
             log_density, proto, k_fit,
             num_chains=chains,
             num_warmup=K.MCMC_WARMUP,
             num_draws=per_chain,
-            init_theta=init_theta,
+            init_theta=warm.mean,
+            inv_mass_init=inv_mass,
             dtype=dtype,
         )
         # flatten [chains, draws, ...] leaves to [chains*draws, ...]

@@ -55,12 +55,9 @@ def main():
     data, dims = nb_model.prepare_data(
         md.counts, md.X, md.exposure_rate, md.n_check, dtype=jnp.float32
     )
-    likelihood_fn = None
-    if jax.default_backend() == "tpu":
-        from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
-
-        likelihood_fn = make_pallas_likelihood()
-    log_density = nb_model.make_log_density(data, dims, tree=True, likelihood_fn=likelihood_fn)
+    # plain XLA-fused likelihood: the Pallas kernel path is available via
+    # make_pallas_likelihood() but is not load-bearing for this bench
+    log_density = nb_model.make_log_density(data, dims, tree=True)
     init = nb_model.smart_init(data, dims, as_tree=True)
 
     # Draw budget of the reference's pFP=1% detrimental run:

@@ -196,13 +196,28 @@ def make_alpha(params: dict, dims: ModelDims) -> jnp.ndarray:
 
 @dataclass(frozen=True)
 class ModelData:
-    """Device-side model inputs (all static-shaped)."""
+    """Device-side model inputs (all static-shaped).
+
+    The optional baseline fields hold the delta-form likelihood expansion
+    point (see with_baseline / delta_likelihood): evaluating the
+    count-amplified softplus terms as exact increments from a fixed baseline
+    keeps the float32 log-density smooth to ~1e-3 — absolute-granularity
+    roughness of eta (~1e-6 * counts up to 1e5) otherwise forces NUTS step
+    sizes into collapse on TPU.
+    """
 
     counts: jnp.ndarray  # [S, G] int32
     X: jnp.ndarray  # [S, C]
     exposure_rate: jnp.ndarray  # [S]
     like_mask: jnp.ndarray  # [S, G] 1.0 = in likelihood (gene real AND not excluded)
     gene_mask: jnp.ndarray  # [G] 1.0 = real gene
+    # baseline (None = plain stable evaluation)
+    alpha0: jnp.ndarray | None = None  # [C, G]
+    sigma_raw0: jnp.ndarray | None = None  # [G]
+    d0: jnp.ndarray | None = None  # [S, G] = eta0 - log_phi0
+    sp_d0: jnp.ndarray | None = None  # [S, G] = softplus(d0)
+    sig_neg_d0: jnp.ndarray | None = None  # [S, G] = sigmoid(-d0)
+    y_sp0: jnp.ndarray | None = None  # [S, G] = y * softplus(-d0) (per-point const)
 
 
 def prepare_data(
@@ -319,14 +334,85 @@ def masked_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray)
 
     Every per-point term is O(|lpmf|)-moderate (ops.nb.nb2_log_lpmf_stable),
     so the float32 reduction keeps the absolute accuracy NUTS energy
-    differences need.
+    differences need. When baseline constants are attached (with_baseline)
+    the count-amplified softplus terms evaluate in delta form — smooth and
+    relative-accurate in the parameters.
     """
+    if data.d0 is not None:
+        return delta_likelihood(data, alpha, log_phi)
     eta = data.exposure_rate[:, None] + jnp.dot(
         data.X, alpha, preferred_element_type=data.X.dtype, precision="highest"
     )
     pts = nb2_log_lpmf_stable(
         data.counts, eta, jnp.broadcast_to(log_phi[None, :], eta.shape)
     )
+    return jnp.sum(data.like_mask * pts)
+
+
+def with_baseline(data: ModelData, dims: ModelDims) -> ModelData:
+    """Attach delta-form baseline constants computed from moment estimates.
+
+    The baseline is the smart-init point (per-gene least squares +
+    method-of-moments overdispersion); all constants are computed in float64
+    on host and stored float32.
+    """
+    from dataclasses import replace
+
+    theta0 = smart_init(data, dims)
+    tree0 = theta_to_tree(jnp.asarray(theta0), dims)
+    params0, _ = unpack_tree(tree0)
+    alpha0 = np.asarray(make_alpha(params0, dims), dtype=np.float64)
+    sigma_raw0 = np.asarray(params0["sigma_raw"], dtype=np.float64)
+    X = np.asarray(data.X, dtype=np.float64)
+    exposure = np.asarray(data.exposure_rate, dtype=np.float64)
+    eta0 = exposure[:, None] + X @ alpha0
+    d0 = eta0 + sigma_raw0[None, :]  # eta0 - log_phi0, log_phi0 = -sigma_raw0
+    sp_d0 = np.logaddexp(0.0, d0)  # softplus
+    sig_neg_d0 = 1.0 / (1.0 + np.exp(d0))
+    y = np.asarray(data.counts, dtype=np.float64)
+    f32 = data.X.dtype
+    return replace(
+        data,
+        alpha0=jnp.asarray(alpha0, f32),
+        sigma_raw0=jnp.asarray(sigma_raw0, f32),
+        d0=jnp.asarray(d0, f32),
+        sp_d0=jnp.asarray(sp_d0, f32),
+        sig_neg_d0=jnp.asarray(sig_neg_d0, f32),
+        y_sp0=jnp.asarray(y * np.logaddexp(0.0, -d0), f32),
+    )
+
+
+def delta_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
+    """Delta-form masked NB2-log likelihood (float32-smooth on TPU).
+
+    Exact identity: softplus(d0 + dlo) = softplus(d0)
+                                        + log1p(sigmoid(d0) * expm1(dlo)).
+    The y-amplified baseline term y*softplus(-d0) is a precomputed PER-POINT
+    constant subtracted before the reduction (keeping every per-point value
+    O(|lpmf|) so the f32 sum stays fine-grained); every parameter-dependent
+    term is relative-accurate in float32 and varies smoothly, so NUTS energy
+    differences stay clean even with counts ~1e5. part1 (the log-binomial
+    part of ops.nb.nb2_log_lpmf_stable) is already smooth and reused as-is.
+    """
+    from ppcseq_tpu.ops.nb import expm1_precise, log1p_precise, nb2_part1
+
+    delta_alpha = alpha - data.alpha0
+    delta_eta = jnp.dot(
+        data.X, delta_alpha, preferred_element_type=data.X.dtype, precision="highest"
+    )
+    # d = d0 + dlo;  dlo = delta_eta - delta_log_phi
+    delta_log_phi = log_phi + data.sigma_raw0  # log_phi - log_phi0
+    dlo = jnp.clip(delta_eta - delta_log_phi[None, :], -60.0, 60.0)
+
+    y = data.counts.astype(dlo.dtype)
+    phi = jnp.exp(log_phi)[None, :]
+    sig_d0 = 1.0 - data.sig_neg_d0
+    # softplus(d) and softplus(-d) as exact increments from the baseline
+    sp_d = data.sp_d0 + log1p_precise(sig_d0 * expm1_precise(dlo))
+    inc_neg = log1p_precise(data.sig_neg_d0 * expm1_precise(-dlo))
+
+    part1 = nb2_part1(y, jnp.broadcast_to(phi, dlo.shape), jnp.broadcast_to(log_phi[None, :], dlo.shape))
+    pts = part1 - phi * sp_d - y * inc_neg - data.y_sp0
     return jnp.sum(data.like_mask * pts)
 
 

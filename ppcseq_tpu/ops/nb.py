@@ -74,30 +74,35 @@ def nb2_log_lpmf_stable(y, eta, log_phi):
     # which wrecks NUTS step-size adaptation on TPU.
     d = eta - log_phi
     part23 = -phi * _softplus(d) - yf * _softplus(-d)
+    return nb2_part1(yf, phi, log_phi) + part23
 
+
+def nb2_part1(yf, phi, log_phi):
+    """lgamma(y+phi) - lgamma(y+1) - lgamma(phi), float32-moderate branches.
+
+    See nb2_log_lpmf_stable for the branch derivations.
+    """
     # --- branch A: y <= 7 (exact product form) -------------------------
-    partA = jnp.zeros_like(eta)
+    partA = jnp.zeros_like(phi)
     for k in range(7):
         partA = partA + jnp.where(
             yf > k, jnp.log(phi + k) - LOG_KP1[k], 0.0
         )
 
     # --- Stirling difference for lgamma(y+phi) - lgamma(y+1), y >= 8 ---
-    a1 = yf + phi
-    a2 = yf + 1.0
     d = phi - 1.0
     ys = jnp.maximum(yf, 8.0)  # keep the unused branch finite
     a1s = ys + phi
     a2s = ys + 1.0
     corr12 = (1.0 / 12.0) * (1.0 / a1s - 1.0 / a2s)
     corr360 = (-1.0 / 360.0) * (1.0 / a1s**3 - 1.0 / a2s**3)
-    pair = (a2s - 0.5) * jnp.log1p(d / a2s) + corr12 + corr360
+    pair = (a2s - 0.5) * log1p_precise(d / a2s) + corr12 + corr360
 
     # --- branch B: y >= 8, phi >= 8 (fully cancelled) ------------------
     phis = jnp.maximum(phi, 8.0)
     partB = (
         pair
-        + (phis - 1.0) * jnp.log1p(ys / phis)
+        + (phis - 1.0) * log1p_precise(ys / phis)
         - 0.5 * jnp.log(phis)
         + 1.0
         - 0.5 * jnp.log(2.0 * jnp.pi)
@@ -108,17 +113,42 @@ def nb2_log_lpmf_stable(y, eta, log_phi):
     # --- branch C: y >= 8, phi < 8 -------------------------------------
     partC = pair + d * jnp.log(a1s) - d - _lgamma_pos_small(jnp.minimum(phi, 8.0))
 
-    part1 = jnp.where(yf <= 7.0, partA, jnp.where(phi >= 8.0, partB, partC))
-    return part1 + part23
+    return jnp.where(yf <= 7.0, partA, jnp.where(phi >= 8.0, partB, partC))
 
 
 # log(k+1) for k = 0..6
 LOG_KP1 = [0.0] + [math.log(k + 1) for k in range(1, 7)]
 
 
+def log1p_precise(u):
+    """log(1+u) with float32-relative accuracy on TPU.
+
+    TPU's native log1p is a coarse approximation (~2.6e-4 relative error vs
+    ~1e-7 on CPU) — fatal when the result is multiplied by counts ~1e4. For
+    |u| < 0.5 use log1p(u) = 2*atanh(u/(2+u)) with an odd polynomial (exact
+    to f32 for |z| <= 0.2); outside, plain log(1+u) has its argument far
+    from 1 where TPU log is accurate.
+    """
+    z = u / (2.0 + u)
+    z2 = z * z
+    small = 2.0 * z * (1.0 + z2 * (1.0 / 3.0 + z2 * (1.0 / 5.0 + z2 * (1.0 / 7.0 + z2 / 9.0))))
+    return jnp.where(jnp.abs(u) < 0.5, small, jnp.log(1.0 + u))
+
+
+def expm1_precise(x):
+    """exp(x)-1 with float32-relative accuracy on TPU.
+
+    TPU's native expm1 has ~9e-5 relative error; for |x| < 0.35 use the
+    Taylor polynomial (error < 1e-7 relative), else exp(x)-1 (no
+    cancellation there).
+    """
+    p = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0 + x / 5040.0))))))
+    return jnp.where(jnp.abs(x) < 0.35, p, jnp.exp(x) - 1.0)
+
+
 def _softplus(x):
-    """log(1 + exp(x)), stable for both signs."""
-    return jnp.where(x > 0, x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    """log(1 + exp(x)), stable for both signs, TPU-accurate log1p."""
+    return jnp.where(x > 0, x, 0.0) + log1p_precise(jnp.exp(-jnp.abs(x)))
 
 
 def _lgamma_pos_small(x):

@@ -43,12 +43,21 @@ def pad_genes(G: int, mesh: Mesh, tile: int = 128) -> int:
 
 def data_shardings(mesh: Mesh, chain_axis: bool = False):
     """NamedShardings for ModelData fields ([S, G] arrays gene-sharded)."""
+    sg = NamedSharding(mesh, P(None, "genes"))
+    g = NamedSharding(mesh, P("genes"))
+    rep = NamedSharding(mesh, P())
     return nb_model.ModelData(
-        counts=NamedSharding(mesh, P(None, "genes")),
-        X=NamedSharding(mesh, P()),
-        exposure_rate=NamedSharding(mesh, P()),
-        like_mask=NamedSharding(mesh, P(None, "genes")),
-        gene_mask=NamedSharding(mesh, P("genes")),
+        counts=sg,
+        X=rep,
+        exposure_rate=rep,
+        like_mask=sg,
+        gene_mask=g,
+        alpha0=sg,  # [C, G]
+        sigma_raw0=g,
+        d0=sg,
+        sp_d0=sg,
+        sig_neg_d0=sg,
+        y_sp0=sg,
     )
 
 
@@ -70,15 +79,15 @@ def param_shardings(mesh: Mesh, dims: nb_model.ModelDims, chain_axis: bool = Fal
 
 
 def shard_data(data: nb_model.ModelData, mesh: Mesh) -> nb_model.ModelData:
-    """device_put every ModelData field with its mesh sharding."""
+    """device_put every (non-None) ModelData field with its mesh sharding."""
+    import dataclasses
+
     sh = data_shardings(mesh)
-    return nb_model.ModelData(
-        counts=jax.device_put(data.counts, sh.counts),
-        X=jax.device_put(data.X, sh.X),
-        exposure_rate=jax.device_put(data.exposure_rate, sh.exposure_rate),
-        like_mask=jax.device_put(data.like_mask, sh.like_mask),
-        gene_mask=jax.device_put(data.gene_mask, sh.gene_mask),
-    )
+    kwargs = {}
+    for f in dataclasses.fields(nb_model.ModelData):
+        v = getattr(data, f.name)
+        kwargs[f.name] = None if v is None else jax.device_put(v, getattr(sh, f.name))
+    return nb_model.ModelData(**kwargs)
 
 
 def shard_params(tree: dict, mesh: Mesh, dims: nb_model.ModelDims, chain_axis: bool = False) -> dict:

@@ -98,12 +98,9 @@ def do_inference(
         exclude_mask=md.exclude_mask,
         dtype=dtype,
     )
-    likelihood_fn = None
-    if jax.default_backend() == "tpu":
-        from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
-
-        likelihood_fn = make_pallas_likelihood()
-    log_density = nb_model.make_log_density(data, dims, tree=True, likelihood_fn=likelihood_fn)
+    # delta-form likelihood baseline: float32-smooth evaluation (TPU)
+    data = nb_model.with_baseline(data, dims)
+    log_density = nb_model.make_log_density(data, dims, tree=True)
     proto = params_mod.zeros_tree(dims, dtype)
 
     # If CI analysis is approximated, only ~1000 actual draws are needed

@@ -44,6 +44,25 @@ def test_stable_likelihood_equals_unfolded():
     np.testing.assert_allclose(float(stable), float(want), rtol=1e-10)
 
 
+def test_delta_likelihood_equals_unfolded():
+    data, dims, alpha, log_phi = _case(seed=3)
+    datab = nb_model.with_baseline(data, dims)
+    delta = nb_model.masked_likelihood(datab, alpha, log_phi)  # auto-dispatches
+    want = _reference_value(data, alpha, log_phi)
+    # log1p/expm1_precise are float32-targeted polynomials (~1e-7 relative)
+    np.testing.assert_allclose(float(delta), float(want), rtol=1e-6)
+    # gradients agree with the plain form
+    g_delta = jax.grad(lambda a, p: nb_model.delta_likelihood(datab, a, p), (0, 1))(alpha, log_phi)
+    g_plain = jax.grad(
+        lambda a, p: nb_glm_loglik_reference(
+            data.X, a, p, data.exposure_rate, data.counts, data.like_mask
+        ),
+        (0, 1),
+    )(alpha, log_phi)
+    for gd, gp in zip(g_delta, g_plain):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gp), rtol=2e-3, atol=1e-3)
+
+
 def test_kernel_forward_matches_reference():
     data, dims, alpha, log_phi = _case()
     got = nb_glm_likelihood(data, alpha, log_phi, 128, True)

@@ -46,6 +46,9 @@ class InferenceResult:
     total_draws: int
     fit: Any = None
     counts_rng: np.ndarray | None = None  # [n_draws, S, K] when exact path ran
+    # posterior draws of user-requested constrained parameters
+    # (reference additional_parameters_to_save, R/methods.R:90)
+    additional_parameters: dict[str, np.ndarray] = field(default_factory=dict)
 
 
 def _available_memory_bytes() -> float:
@@ -79,6 +82,7 @@ def do_inference(
     to_exclude: pd.DataFrame | None = None,
     truncation_compensation: float = 1.0,
     save_generated_quantities: bool = False,
+    additional_parameters_to_save: tuple[str, ...] = (),
     tol_rel_obj: float = 0.01,
     pass_fit: bool = False,
     dtype=jnp.float32,
@@ -165,6 +169,31 @@ def do_inference(
     alpha1_draws = nb_model.extract_alpha_sub_1_draws(thetas, dims)
     slope_mean = np.asarray(jnp.mean(alpha1_draws, axis=0))  # posterior mean per checked gene
 
+    # Extra constrained-parameter draws the user asked to keep (reference
+    # additional_parameters_to_save, R/methods.R:90, R/utilities.R:1506-1510)
+    additional: dict[str, np.ndarray] = {}
+    if additional_parameters_to_save:
+        constrained = jax.vmap(
+            lambda t: nb_model.unpack_tree(t, dims.non_centered)[0]
+        )(thetas)
+        derived = {
+            "sigma": lambda: jnp.exp(constrained["sigma_raw"]) ** -1,
+            "lambda_log_param": lambda: lambda_log_draws,
+            "counts_rng": lambda: None,  # handled by save_generated_quantities
+        }
+        for name in additional_parameters_to_save:
+            if name in constrained:
+                additional[name] = np.asarray(constrained[name])
+            elif name in derived:
+                v = derived[name]()
+                if v is not None:
+                    additional[name] = np.asarray(v)
+            else:
+                raise ValueError(
+                    f"unknown parameter {name!r}; available: "
+                    f"{sorted(constrained.keys() | derived.keys())}"
+                )
+
     counts_rng = None
     if approximate_posterior_analysis:
         ci = approximated_ci(
@@ -231,6 +260,7 @@ def do_inference(
         total_draws=total_draws,
         fit=fit_obj if pass_fit else fit_info,
         counts_rng=counts_rng,
+        additional_parameters=additional,
     )
 
 
@@ -249,6 +279,7 @@ def identify_outliers(
     approximate_posterior_analysis: bool | None = True,
     draws_after_tail: int = 10,
     save_generated_quantities: bool = False,
+    additional_parameters_to_save: tuple[str, ...] = (),
     cores: int | None = None,
     pass_fit: bool = False,
     do_check_only_on_detrimental: bool | None = None,
@@ -391,6 +422,7 @@ def identify_outliers(
         to_exclude=to_exclude,
         truncation_compensation=K.TRUNCATION_COMPENSATION_PASS2,
         save_generated_quantities=save_generated_quantities,
+        additional_parameters_to_save=tuple(additional_parameters_to_save),
         pass_fit=pass_fit,
         seed=seed + 1,
         **common,
@@ -408,6 +440,8 @@ def identify_outliers(
     result.attrs["abundance_column"] = abundance
     result.attrs["sample_column"] = sample
     result.attrs["formula"] = formula
+    if res_test.additional_parameters:
+        result.attrs["additional_parameters"] = res_test.additional_parameters
     if pass_fit:
         result.attrs["fit 1"] = res_discovery.fit
         result.attrs["fit 2"] = res_test.fit

@@ -5,9 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Configuration mirrors the reference's headline use case (README.md:58-74):
 the 15 FDR<0.01 genes + 500 negative controls of `counts` (G=515, S=21,
 ~10.8k data points), pFP=1% detrimental-only => ~10.5k posterior draws
-needed (R/methods.R:155-167). The flagship path is vectorized multi-chain
-NUTS: chains are vmapped into one XLA program, so the chip runs as many
-chains as the draw budget wants with one warmup wall-clock.
+needed (R/methods.R:155-167). The flagship path is the pipeline's MCMC
+engine: meanfield-ADVI warm start (init + diagonal mass matrix) feeding
+jittered-trajectory HMC with 128 vmapped chains, all compiled to one XLA
+program per phase (ppcseq_tpu/infer/hmc.py). Model data rides as a jit
+operand, so the timed run reuses the compiled executables — the same way
+the two passes of identify_outliers share one compile.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
 comparison constant below is an estimate of 8-thread Stan (rstan NUTS,
@@ -35,9 +38,9 @@ def main():
     from ppcseq_tpu import load_counts
     from ppcseq_tpu.data import ingest
     from ppcseq_tpu.formula.design import create_design_matrix
-    from ppcseq_tpu.infer.nuts import run_nuts
+    from ppcseq_tpu.infer.advi import fit_advi
+    from ppcseq_tpu.infer.hmc import run_hmc
     from ppcseq_tpu.model import nb_model
-    from ppcseq_tpu.model.params import zeros_tree
     from ppcseq_tpu.norm.tmm import sample_scaling
 
     counts = load_counts()
@@ -55,35 +58,33 @@ def main():
     data, dims = nb_model.prepare_data(
         md.counts, md.X, md.exposure_rate, md.n_check, dtype=jnp.float32
     )
-    # plain XLA-fused likelihood: the Pallas kernel path is available via
-    # make_pallas_likelihood() but is not load-bearing for this bench
-    log_density = nb_model.make_log_density(data, dims, tree=True)
-    init = nb_model.smart_init(data, dims, as_tree=True)
+    logp = nb_model.flat_logp(dims)
+    init = jnp.asarray(nb_model.smart_init(data, dims), jnp.float32)
 
     # Draw budget of the reference's pFP=1% detrimental run:
     # thr2 = 0.01/21*2, draws = 10/thr2 = 10500 (R/methods.R:155-167).
-    num_chains = 32
-    num_warmup = 150
-    per_chain = 330  # 32 * 330 = 10560 >= 10500
+    num_chains = 128
+    num_warmup = 100
+    per_chain = 83  # 128 * 83 = 10624 >= 10500
+    num_leapfrog = 32
     total_draws = num_chains * per_chain
 
-    from ppcseq_tpu.infer.advi import fit_advi
-
     def one_run(seed):
-        # ADVI warm start (init + mass matrix), then NUTS — the pipeline's
-        # actual sampling path; its cost is included in the timed run.
         warm = fit_advi(
-            log_density, zeros_tree(dims), jax.random.PRNGKey(seed + 7),
-            init_mean=init, tol_rel_obj=0.01, learning_rate=0.2,
+            logp, dims.dim, jax.random.PRNGKey(seed + 7), data=data,
+            init_mean=init, tol_rel_obj=0.01, learning_rate=0.3,
+            eval_every=50, grad_samples=4,
         )
-        inv_mass = jax.tree.map(lambda ls: jnp.exp(2.0 * ls), warm.log_sd)
-        return run_nuts(
-            log_density, zeros_tree(dims), jax.random.PRNGKey(seed),
+        inv_mass = np.exp(2.0 * np.asarray(warm.log_sd))
+        return run_hmc(
+            logp, dims.dim, jax.random.PRNGKey(seed), data=data,
             num_chains=num_chains, num_warmup=num_warmup, num_draws=per_chain,
-            init_theta=warm.mean, inv_mass_init=inv_mass,
+            num_leapfrog=num_leapfrog,
+            init_theta=warm.mean, inv_mass=inv_mass,
         )
 
-    # warm the compile cache with one full run
+    # warm the compile cache with one full run (compiled executables are
+    # cached per (log-density fn, config); data is an operand)
     _ = one_run(1)
 
     t0 = time.time()
@@ -100,11 +101,13 @@ def main():
         "detail": {
             "total_draws": total_draws,
             "chains": num_chains,
+            "sampler": "jittered-HMC (ADVI warm start), infer/hmc.py",
             "elapsed_s": round(elapsed, 2),
             "leapfrog_steps": res.num_leapfrog,
             "leapfrogs_per_sec": round(res.num_leapfrog / elapsed, 1),
             "divergence_frac": round(div_frac, 5),
             "mean_accept": round(float(res.accept_prob.mean()), 3),
+            "step_size": round(res.step_size, 4),
             "device": str(jax.devices()[0]),
             "baseline_note": "est. 8-thread Stan NUTS on same model = 50 draws/s",
         },

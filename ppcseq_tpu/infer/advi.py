@@ -29,6 +29,8 @@ import optax
 
 from ppcseq_tpu.model.params import tree_normal_like, tree_size
 
+_FNS_CACHE: dict = {}
+
 
 @dataclass
 class ADVIResult:
@@ -55,11 +57,59 @@ def _elbo_estimate(log_density, m, log_s, key, n_samples):
     return jnp.mean(logps) + entropy
 
 
+def _get_advi_fns(log_density, has_data, eval_every, grad_samples, elbo_samples, learning_rate):
+    """Jitted chunk/eval functions cached per (log-density fn, static config).
+
+    Model data rides as an operand, so repeated fits with same-shaped data
+    (the pipeline's two passes; retry attempts) reuse one compile.
+    """
+    cache_key = (log_density, has_data, eval_every, grad_samples, elbo_samples, float(learning_rate))
+    hit = _FNS_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
+
+    # inverse-sqrt step-size decay, like Stan ADVI's rho_k ~ eta / sqrt(k)
+    schedule = lambda step: learning_rate / jnp.sqrt(1.0 + step / 100.0)  # noqa: E731
+    optimizer = optax.adam(schedule)
+
+    def bind(data):
+        if has_data:
+            return lambda th: log_density(th, data)
+        return log_density
+
+    @jax.jit
+    def chunk(params, opt_state, key, data):
+        ld = bind(data)
+
+        def loss_fn(p, k):
+            return -_elbo_estimate(ld, p["m"], p["log_s"], k, grad_samples)
+
+        def step(carry, k):
+            p, s = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, k)
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        keys = jax.random.split(key, eval_every)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    elbo_eval = jax.jit(
+        lambda p, k, data: _elbo_estimate(bind(data), p["m"], p["log_s"], k, elbo_samples)
+    )
+
+    fns = (optimizer, chunk, elbo_eval)
+    _FNS_CACHE[cache_key] = fns
+    return fns
+
+
 def fit_advi(
     log_density,
     prototype,
     key,
     *,
+    data=None,
     max_iter: int = 50000,
     tol_rel_obj: float = 0.005,
     eval_every: int = 100,
@@ -74,12 +124,14 @@ def fit_advi(
     """Fit meanfield ADVI; returns the variational parameters.
 
     `prototype` defines the state structure: an int D (flat vector), an
-    example array, or a pytree. Convergence: ELBO estimated with
-    `elbo_samples` draws every `eval_every` steps; stop when the mean or the
-    median of the last `window` relative changes drops below tol_rel_obj
-    (Stan ADVI's rule). `init_mean` seeds the variational location (e.g.
-    nb_model.smart_init); a data-informed start makes the relative-ELBO rule
-    meaningful from the first window.
+    example array, or a pytree. With `data` given, `log_density(theta,
+    data)` is used and the compiled optimizer is reused across fits (see
+    _get_advi_fns). Convergence: ELBO estimated with `elbo_samples` draws
+    every `eval_every` steps; stop when the mean or the median of the last
+    `window` relative changes drops below tol_rel_obj (Stan ADVI's rule).
+    `init_mean` seeds the variational location (e.g. nb_model.smart_init); a
+    data-informed start makes the relative-ELBO rule meaningful from the
+    first window.
     """
     if isinstance(prototype, int):
         prototype = jnp.zeros(prototype, dtype)
@@ -96,30 +148,10 @@ def fit_advi(
         "m": m0,
         "log_s": jax.tree.map(lambda x: jnp.full_like(x, init_log_sd), proto),
     }
-    # inverse-sqrt step-size decay, like Stan ADVI's rho_k ~ eta / sqrt(k)
-    schedule = lambda step: learning_rate / jnp.sqrt(1.0 + step / 100.0)  # noqa: E731
-    optimizer = optax.adam(schedule)
-    opt_state = optimizer.init(params)
-
-    @jax.jit
-    def chunk(params, opt_state, key):
-        def loss_fn(p, k):
-            return -_elbo_estimate(log_density, p["m"], p["log_s"], k, grad_samples)
-
-        def step(carry, k):
-            p, s = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, k)
-            updates, s = optimizer.update(grads, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
-
-        keys = jax.random.split(key, eval_every)
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
-        return params, opt_state, losses
-
-    elbo_eval = jax.jit(
-        lambda p, k: _elbo_estimate(log_density, p["m"], p["log_s"], k, elbo_samples)
+    optimizer, chunk, elbo_eval = _get_advi_fns(
+        log_density, data is not None, eval_every, grad_samples, elbo_samples, learning_rate
     )
+    opt_state = optimizer.init(params)
 
     elbos = []
     deltas = []
@@ -127,9 +159,9 @@ def fit_advi(
     it = 0
     while it < max_iter:
         key, k_chunk, k_eval = jax.random.split(key, 3)
-        params, opt_state, _ = chunk(params, opt_state, k_chunk)
+        params, opt_state, _ = chunk(params, opt_state, k_chunk, data)
         it += eval_every
-        elbo = float(elbo_eval(params, k_eval))
+        elbo = float(elbo_eval(params, k_eval, data))
         if not np.isfinite(elbo):
             break
         if elbos:

@@ -37,6 +37,7 @@ the hierarchical priors.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
 from functools import partial
 
 import jax
@@ -198,6 +199,10 @@ def make_alpha(params: dict, dims: ModelDims) -> jnp.ndarray:
 class ModelData:
     """Device-side model inputs (all static-shaped).
 
+    Registered as a JAX pytree (below), so a ModelData can ride through jit
+    as an operand — samplers compile ONCE per shape and are reused across
+    the two passes / repeated fits with different data.
+
     The optional baseline fields hold the delta-form likelihood expansion
     point (see with_baseline / delta_likelihood): evaluating the
     count-amplified softplus terms as exact increments from a fixed baseline
@@ -218,6 +223,17 @@ class ModelData:
     sp_d0: jnp.ndarray | None = None  # [S, G] = softplus(d0)
     sig_neg_d0: jnp.ndarray | None = None  # [S, G] = sigmoid(-d0)
     y_sp0: jnp.ndarray | None = None  # [S, G] = y * softplus(-d0) (per-point const)
+
+
+jax.tree_util.register_pytree_node(
+    ModelData,
+    lambda d: (
+        (d.counts, d.X, d.exposure_rate, d.like_mask, d.gene_mask,
+         d.alpha0, d.sigma_raw0, d.d0, d.sp_d0, d.sig_neg_d0, d.y_sp0),
+        None,
+    ),
+    lambda aux, ch: ModelData(*ch),
+)
 
 
 def prepare_data(
@@ -425,6 +441,23 @@ def make_log_density(data: ModelData, dims: ModelDims, likelihood_fn=None, tree:
     """Bind data: returns theta (or pytree) -> scalar log density."""
     fn = log_joint_tree if tree else log_joint
     return partial(fn, data=data, dims=dims, likelihood_fn=likelihood_fn)
+
+
+@functools.lru_cache(maxsize=64)
+def flat_logp(dims: ModelDims):
+    """Data-parametrized flat log density with STABLE function identity.
+
+    Returns `f(theta, data) -> scalar` cached per dims, so samplers that key
+    their compiled executables on the log-density function reuse one compile
+    across repeated fits with different data of the same shape (e.g. the
+    two passes of identify_outliers — pass 2 differs only in like_mask and
+    baseline constants).
+    """
+
+    def f(theta, data):
+        return log_joint(theta, data, dims)
+
+    return f
 
 
 def extract_lambda_sigma_draws(thetas, data: ModelData, dims: ModelDims):

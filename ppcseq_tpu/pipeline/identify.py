@@ -30,9 +30,9 @@ from ppcseq_tpu.data import ingest
 from ppcseq_tpu.formula.design import create_design_matrix, parse_formula
 from ppcseq_tpu.infer.advi import advi_sample, fit_advi, vb_iterative
 from ppcseq_tpu.infer.chains import chains_for_run, mcmc_iterations
+from ppcseq_tpu.infer.hmc import run_hmc
 from ppcseq_tpu.infer.nuts import run_nuts
 from ppcseq_tpu.model import nb_model
-from ppcseq_tpu.model import params as params_mod
 from ppcseq_tpu.norm.tmm import sample_scaling
 from ppcseq_tpu.ppc.rng import approximated_ci, exact_ci
 from ppcseq_tpu.utils import constants as K
@@ -85,6 +85,7 @@ def do_inference(
     additional_parameters_to_save: tuple[str, ...] = (),
     tol_rel_obj: float = 0.01,
     pass_fit: bool = False,
+    mcmc_sampler: str = "hmc",
     dtype=jnp.float32,
 ) -> InferenceResult:
     """One fit + CI extraction + outlier annotation (reference R/utilities.R:1321-1547)."""
@@ -104,8 +105,13 @@ def do_inference(
     )
     # delta-form likelihood baseline: float32-smooth evaluation (TPU)
     data = nb_model.with_baseline(data, dims)
-    log_density = nb_model.make_log_density(data, dims, tree=True)
-    proto = params_mod.zeros_tree(dims, dtype)
+    # FLAT [D] state everywhere in this driver: every integrator/optimizer
+    # op is one fused vector op (the pytree state costs ~10 small ops per
+    # step and is reserved for gene-sharded multi-chip, parallel/sharding).
+    # flat_logp(dims) has stable identity and takes `data` as an operand, so
+    # the two passes (same shapes, different masks) share ONE compile.
+    logp = nb_model.flat_logp(dims)
+    init_flat = jnp.asarray(nb_model.smart_init(data, dims), dtype)
 
     # If CI analysis is approximated, only ~1000 actual draws are needed
     # (reference R/utilities.R:1372)
@@ -118,51 +124,74 @@ def do_inference(
     key = jax.random.PRNGKey(seed)
     k_fit, k_draws, k_ci = jax.random.split(key, 3)
 
-    init_theta = nb_model.smart_init(data, dims, as_tree=True)
-
     fit_info: dict[str, Any] = {}
     if approximate_posterior_inference:
         res = vb_iterative(
-            log_density, proto, k_fit,
+            logp, dims.dim, k_fit,
+            data=data,
             max_iter=K.VB_MAX_ITER,
             tol_rel_obj=K.VB_TOL_REL_OBJ,  # hard-coded in reference R/utilities.R:1493
-            init_mean=init_theta,
+            init_mean=init_flat,
             dtype=dtype,
         )
         thetas = advi_sample(res, k_draws, draws_practical, dtype=dtype)
         fit_info = {"method": "advi", "elbo": res.elbo, "iterations": res.iterations}
         fit_obj = res
     else:
-        chains = chains_for_run(draws_practical, cores)
-        per_chain = mcmc_iterations(draws_practical, chains)
-        # ADVI warm start: a quick meanfield fit supplies the NUTS initial
-        # point and diagonal mass matrix. Cold Welford adaptation over ~1000
-        # dims from 150 warmup iterations is fragile (and bifurcates into a
-        # tiny-step basin under TPU f32 evaluation roughness); the ADVI
-        # scales make step-size search start in the right regime.
+        # ADVI warm start: a quick meanfield fit supplies the sampler's
+        # initial point and diagonal mass matrix. Cold Welford adaptation
+        # over ~1000 dims from 150 warmup iterations is fragile (and
+        # bifurcates into a tiny-step basin under TPU f32 evaluation
+        # roughness); the ADVI scales make step-size search start in the
+        # right regime.
         warm = fit_advi(
-            log_density, proto, jax.random.fold_in(k_fit, 99),
-            init_mean=init_theta, tol_rel_obj=0.01, learning_rate=0.2,
+            logp, dims.dim, jax.random.fold_in(k_fit, 99),
+            data=data,
+            init_mean=init_flat, tol_rel_obj=0.01, learning_rate=0.2,
             dtype=dtype,
         )
-        inv_mass = jax.tree.map(lambda ls: jnp.exp(2.0 * ls), warm.log_sd)
-        res = run_nuts(
-            log_density, proto, k_fit,
-            num_chains=chains,
-            num_warmup=K.MCMC_WARMUP,
-            num_draws=per_chain,
-            init_theta=warm.mean,
-            inv_mass_init=inv_mass,
-            dtype=dtype,
-        )
-        # flatten [chains, draws, ...] leaves to [chains*draws, ...]
-        thetas = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), res.draws)
-        fit_info = {
-            "method": "nuts",
-            "chains": chains,
-            "divergences": res.divergences.tolist(),
-            "step_size": res.step_size.tolist(),
-        }
+        inv_mass = np.exp(2.0 * np.asarray(warm.log_sd))
+        if mcmc_sampler == "hmc":
+            chains = K.HMC_CHAINS
+            per_chain = int(np.ceil(draws_practical / chains))
+            res = run_hmc(
+                logp, dims.dim, k_fit,
+                data=data,
+                num_chains=chains,
+                num_warmup=K.HMC_WARMUP,
+                num_draws=per_chain,
+                num_leapfrog=K.HMC_LEAPFROG,
+                init_theta=warm.mean,
+                inv_mass=inv_mass,
+                dtype=dtype,
+            )
+            fit_info = {
+                "method": "hmc",
+                "chains": chains,
+                "divergences": res.divergences.tolist(),
+                "step_size": res.step_size,
+            }
+        elif mcmc_sampler == "nuts":
+            chains = chains_for_run(draws_practical, cores)
+            per_chain = mcmc_iterations(draws_practical, chains)
+            res = run_nuts(
+                lambda th: logp(th, data), dims.dim, k_fit,
+                num_chains=chains,
+                num_warmup=K.MCMC_WARMUP,
+                num_draws=per_chain,
+                init_theta=jnp.asarray(warm.mean, dtype),
+                inv_mass_init=jnp.asarray(inv_mass, dtype),
+                dtype=dtype,
+            )
+            fit_info = {
+                "method": "nuts",
+                "chains": chains,
+                "divergences": res.divergences.tolist(),
+                "step_size": res.step_size.tolist(),
+            }
+        else:
+            raise ValueError(f"unknown mcmc_sampler {mcmc_sampler!r} (use 'hmc' or 'nuts')")
+        thetas = jnp.asarray(res.draws.reshape(-1, dims.dim))
         fit_obj = res
 
     lambda_log_draws, sigma_raw_draws = nb_model.extract_lambda_sigma_draws(thetas, data, dims)
@@ -173,9 +202,14 @@ def do_inference(
     # additional_parameters_to_save, R/methods.R:90, R/utilities.R:1506-1510)
     additional: dict[str, np.ndarray] = {}
     if additional_parameters_to_save:
-        constrained = jax.vmap(
-            lambda t: nb_model.unpack_tree(t, dims.non_centered)[0]
-        )(thetas)
+        if isinstance(thetas, dict):
+            constrained = jax.vmap(
+                lambda t: nb_model.unpack_tree(t, dims.non_centered)[0]
+            )(thetas)
+        else:
+            constrained = jax.vmap(
+                lambda th: nb_model.unpack(th, dims)[0]
+            )(thetas)
         derived = {
             "sigma": lambda: jnp.exp(constrained["sigma_raw"]) ** -1,
             "lambda_log_param": lambda: lambda_log_draws,
@@ -287,6 +321,7 @@ def identify_outliers(
     just_discovery: bool = False,
     seed: int | None = None,
     adj_prob_theshold_2: float | None = None,
+    mcmc_sampler: str = "hmc",
     dtype=jnp.float32,
 ) -> pd.DataFrame:
     """Identify deleterious outlier observations per significant transcript.
@@ -387,6 +422,7 @@ def identify_outliers(
         exposure_by_sample=exposure_by_sample,
         cores=cores,
         tol_rel_obj=tol_rel_obj,
+        mcmc_sampler=mcmc_sampler,
         dtype=dtype,
     )
 

@@ -35,3 +35,10 @@ MEM_REGRESSION_VB = (1.554e6, 7.327e-2)
 # When CI analysis is approximated, only this many actual posterior draws are
 # needed from the sampler (reference R/utilities.R:1372)
 APPROX_ANALYSIS_PRACTICAL_DRAWS = 1000
+
+# Jittered-HMC (infer/hmc.py) defaults — TPU-tuned, no reference equivalent
+# (the reference's chain heuristic, R/utilities.R:291-303, is CPU-process
+# economics; on TPU chains are a nearly-free batch dimension)
+HMC_CHAINS = 128
+HMC_WARMUP = 100
+HMC_LEAPFROG = 32

@@ -65,17 +65,22 @@ def main():
     jax.block_until_ready(warm.mean)
     t_advi = time.time() - t0
     inv_mass = jax.tree.map(lambda ls: jnp.exp(2.0 * ls), warm.log_sd)
-    print(f"ADVI: compile+run {t_advi_compile:.1f}s, run {t_advi:.1f}s, iters={warm.iterations}")
+    print(
+        f"ADVI: compile+run {t_advi_compile:.1f}s, run {t_advi:.1f}s, iters={warm.iterations}",
+        flush=True,
+    )
 
     total_target = 10500
-    for num_chains, num_warmup, max_depth in [
-        (32, 150, 10),
-        (128, 150, 10),
+    import sys as _sys
+
+    configs = [
         (128, 75, 10),
-        (256, 75, 10),
         (256, 75, 8),
         (512, 50, 8),
-    ]:
+    ]
+    if len(_sys.argv) > 1:
+        configs = [tuple(int(x) for x in a.split(",")) for a in _sys.argv[1:]]
+    for num_chains, num_warmup, max_depth in configs:
         per_chain = -(-total_target // num_chains)
         # compile warm-up run
         r = run_nuts(
@@ -95,7 +100,8 @@ def main():
             f"chains={num_chains:4d} warmup={num_warmup:3d} depth={max_depth:2d}: "
             f"{elapsed:6.2f}s {total/elapsed:8.1f} draws/s "
             f"leapfrog={r.num_leapfrog} ({r.num_leapfrog/elapsed:9.0f}/s) "
-            f"div={r.divergences.sum()} acc={r.accept_prob.mean():.3f}"
+            f"div={r.divergences.sum()} acc={r.accept_prob.mean():.3f}",
+            flush=True,
         )
 
 

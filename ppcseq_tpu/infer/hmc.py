@@ -172,6 +172,7 @@ def run_hmc(
     init_jitter: float = 0.1,
     inv_mass=None,
     step_size0: float = 0.05,
+    mesh=None,
     dtype=jnp.float32,
 ) -> HMCResult:
     """Run jittered-trajectory HMC on a flat [D] unconstrained state.
@@ -180,12 +181,20 @@ def run_hmc(
     `inv_mass` is the diagonal inverse mass (posterior variance estimate,
     e.g. exp(2*log_sd) from ADVI). Returns post-warmup draws stacked
     [chains, num_draws, D].
+
+    With `mesh` (a jax.sharding.Mesh with a "chains" axis), the chain batch
+    is sharded across devices: pure data-parallel scaling of the flagship
+    sampler over ICI — every integrator op stays local per device, the only
+    cross-device collective is the scalar mean-accept psum in warmup (the
+    TPU analog of the reference's chain-per-process parallelism,
+    R/utilities.R:1497-1502). `data` and the mass matrix are replicated.
     """
     D = int(dim)
     L_min = max(1, int(np.ceil(jitter_low * num_leapfrog)))
     cache_key = (
         log_density, data is not None, D, num_chains, num_warmup, num_draws,
         int(num_leapfrog), L_min, float(target_accept), jnp.dtype(dtype).name,
+        mesh,
     )
     runner = _RUNNER_CACHE.get(cache_key)
     if runner is None:
@@ -205,6 +214,18 @@ def run_hmc(
     else:
         base = jnp.asarray(init_theta, dtype)
         z0 = base[None, :] + init_jitter * jax.random.normal(k_init, (num_chains, D), dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chain_sh = NamedSharding(mesh, P("chains", None))
+        rep = NamedSharding(mesh, P())
+        z0 = jax.device_put(z0, chain_sh)
+        inv_mass = jax.device_put(inv_mass, rep)
+        if data is not None:
+            data = jax.tree.map(
+                lambda x: jax.device_put(x, rep) if x is not None else None, data
+            )
 
     mu = jnp.asarray(np.log(10.0 * step_size0), dtype)
     draws, accept, div, eps = runner(data, z0, inv_mass, mu, key)

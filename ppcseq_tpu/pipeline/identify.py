@@ -147,7 +147,8 @@ def do_inference(
         warm = fit_advi(
             logp, dims.dim, jax.random.fold_in(k_fit, 99),
             data=data,
-            init_mean=init_flat, tol_rel_obj=0.01, learning_rate=0.2,
+            init_mean=init_flat, tol_rel_obj=0.01, learning_rate=0.3,
+            eval_every=50, grad_samples=4,
             dtype=dtype,
         )
         inv_mass = np.exp(2.0 * np.asarray(warm.log_sd))

@@ -76,6 +76,27 @@ def test_sharded_nuts_runs(tiny):
     assert np.isfinite(a1).all()
 
 
+def test_chain_sharded_hmc(tiny):
+    """Flagship HMC with the chain batch sharded over an 8-device mesh."""
+    from jax.sharding import Mesh
+
+    from ppcseq_tpu.infer.hmc import run_hmc
+
+    counts, X, exposure, n_check = tiny
+    data, dims = nb_model.prepare_data(counts, X, exposure, n_check, dtype=jnp.float32)
+    logp = nb_model.flat_logp(dims)
+    init = jnp.asarray(nb_model.smart_init(data, dims), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("chains",))
+    res = run_hmc(
+        logp, dims.dim, jax.random.PRNGKey(0), data=data,
+        num_chains=16, num_warmup=30, num_draws=10, num_leapfrog=8,
+        init_theta=init, mesh=mesh,
+    )
+    assert res.draws.shape == (16, 10, dims.dim)
+    assert np.isfinite(res.draws).all()
+    assert 0.2 < res.accept_prob.mean() <= 1.0
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 

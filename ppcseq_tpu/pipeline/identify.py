@@ -36,6 +36,7 @@ from ppcseq_tpu.model import nb_model
 from ppcseq_tpu.norm.tmm import sample_scaling
 from ppcseq_tpu.ppc.rng import approximated_ci, exact_ci
 from ppcseq_tpu.utils import constants as K
+from ppcseq_tpu.utils.log import timed
 
 
 @dataclass
@@ -89,6 +90,9 @@ def do_inference(
     dtype=jnp.float32,
 ) -> InferenceResult:
     """One fit + CI extraction + outlier annotation (reference R/utilities.R:1321-1547)."""
+    from ppcseq_tpu.utils.log import breadcrumb
+
+    breadcrumb("executing do_inference")
     md = ingest.build_model_data(
         my_df, sample, transcript, abundance, do_check,
         X, sorted_sample_names, exposure_by_sample,
@@ -192,6 +196,17 @@ def do_inference(
             }
         else:
             raise ValueError(f"unknown mcmc_sampler {mcmc_sampler!r} (use 'hmc' or 'nuts')")
+        # convergence diagnostics on the parameters that drive the calls
+        # (slope block + the 6 hyperparameters); the reference drops rstan's
+        # n_eff/Rhat (R/utilities.R:699) — we surface them instead
+        from ppcseq_tpu.infer.diagnostics import summarize as diag_summarize
+
+        draws_cd = np.asarray(res.draws)
+        if draws_cd.ndim == 3 and draws_cd.shape[1] >= 4:
+            sel = np.r_[0:6, 6 + 2 * dims.G : 6 + 2 * dims.G + dims.n_check]
+            d = diag_summarize(draws_cd[:, :, sel])
+            fit_info["rhat_max"] = d["rhat_max"]
+            fit_info["ess_min"] = d["ess_min"]
         thetas = jnp.asarray(res.draws.reshape(-1, dims.dim))
         fit_obj = res
 
@@ -428,16 +443,17 @@ def identify_outliers(
     )
 
     # ---- PASS 1: discovery (R/methods.R:268-286) -------------------------
-    res_discovery = do_inference(
-        my_df,
-        approximate_posterior_inference=approximate_posterior_inference,
-        approximate_posterior_analysis=False,
-        adj_prob_theshold=adj_prob_theshold_1,
-        how_many_posterior_draws=how_many_posterior_draws_1,
-        pass_fit=True,
-        seed=seed,
-        **common,
-    )
+    with timed("pass 1 (discovery fit)"):
+        res_discovery = do_inference(
+            my_df,
+            approximate_posterior_inference=approximate_posterior_inference,
+            approximate_posterior_analysis=False,
+            adj_prob_theshold=adj_prob_theshold_1,
+            how_many_posterior_draws=how_many_posterior_draws_1,
+            pass_fit=True,
+            seed=seed,
+            **common,
+        )
     if just_discovery:
         return res_discovery.table
 
@@ -450,20 +466,21 @@ def identify_outliers(
     to_exclude = to_exclude.drop_duplicates()
 
     # ---- PASS 2: test at the user FP level (R/methods.R:320-342) ---------
-    res_test = do_inference(
-        my_df,
-        approximate_posterior_inference=approximate_posterior_inference,
-        approximate_posterior_analysis=approximate_posterior_analysis,
-        adj_prob_theshold=adj_prob_theshold_2,
-        how_many_posterior_draws=how_many_posterior_draws_2,
-        to_exclude=to_exclude,
-        truncation_compensation=K.TRUNCATION_COMPENSATION_PASS2,
-        save_generated_quantities=save_generated_quantities,
-        additional_parameters_to_save=tuple(additional_parameters_to_save),
-        pass_fit=pass_fit,
-        seed=seed + 1,
-        **common,
-    )
+    with timed("pass 2 (truncated test fit)"):
+        res_test = do_inference(
+            my_df,
+            approximate_posterior_inference=approximate_posterior_inference,
+            approximate_posterior_analysis=approximate_posterior_analysis,
+            adj_prob_theshold=adj_prob_theshold_2,
+            how_many_posterior_draws=how_many_posterior_draws_2,
+            to_exclude=to_exclude,
+            truncation_compensation=K.TRUNCATION_COMPENSATION_PASS2,
+            save_generated_quantities=save_generated_quantities,
+            additional_parameters_to_save=tuple(additional_parameters_to_save),
+            pass_fit=pass_fit,
+            seed=seed + 1,
+            **common,
+        )
 
     # ---- merge (reference merge_results, R/utilities.R:539-608) ----------
     result = merge_results(

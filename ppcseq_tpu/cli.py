@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact CI extraction instead of the approximated path")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="persist per-pass fits; a rerun with identical config resumes")
     p.add_argument("--plots", action="store_true", help="write per-transcript CI plots")
     p.add_argument("--json", action="store_true", help="print the summary as JSON to stdout")
     return p
@@ -84,6 +86,7 @@ def main(argv=None) -> int:
         draws_after_tail=args.draws_after_tail,
         seed=args.seed,
         cores=args.cores,
+        checkpoint_dir=args.checkpoint_dir,
     )
 
     os.makedirs(args.output, exist_ok=True)

@@ -338,6 +338,7 @@ def identify_outliers(
     seed: int | None = None,
     adj_prob_theshold_2: float | None = None,
     mcmc_sampler: str = "hmc",
+    checkpoint_dir: str | None = None,
     dtype=jnp.float32,
 ) -> pd.DataFrame:
     """Identify deleterious outlier observations per significant transcript.
@@ -443,17 +444,33 @@ def identify_outliers(
     )
 
     # ---- PASS 1: discovery (R/methods.R:268-286) -------------------------
-    with timed("pass 1 (discovery fit)"):
-        res_discovery = do_inference(
-            my_df,
-            approximate_posterior_inference=approximate_posterior_inference,
-            approximate_posterior_analysis=False,
-            adj_prob_theshold=adj_prob_theshold_1,
-            how_many_posterior_draws=how_many_posterior_draws_1,
-            pass_fit=True,
-            seed=seed,
-            **common,
-        )
+    from ppcseq_tpu.utils import checkpoint as ckpt
+
+    base_cfg = dict(
+        formula=formula, approx_inf=approximate_posterior_inference,
+        seed=seed, sampler=mcmc_sampler,
+    )
+    fp1 = ckpt.config_fingerprint(
+        my_df, which="pass1", thr=adj_prob_theshold_1,
+        draws=how_many_posterior_draws_1, **base_cfg,
+    ) if checkpoint_dir else ""
+    table1 = ckpt.load_pass(checkpoint_dir, "pass1", fp1)
+    if table1 is not None:
+        res_discovery = InferenceResult(table=table1, total_draws=0)
+    else:
+        with timed("pass 1 (discovery fit)"):
+            res_discovery = do_inference(
+                my_df,
+                approximate_posterior_inference=approximate_posterior_inference,
+                approximate_posterior_analysis=False,
+                adj_prob_theshold=adj_prob_theshold_1,
+                how_many_posterior_draws=how_many_posterior_draws_1,
+                pass_fit=True,
+                seed=seed,
+                **common,
+            )
+        if checkpoint_dir:
+            ckpt.save_pass(checkpoint_dir, "pass1", res_discovery.table, fp1)
     if just_discovery:
         return res_discovery.table
 
@@ -466,21 +483,43 @@ def identify_outliers(
     to_exclude = to_exclude.drop_duplicates()
 
     # ---- PASS 2: test at the user FP level (R/methods.R:320-342) ---------
-    with timed("pass 2 (truncated test fit)"):
-        res_test = do_inference(
-            my_df,
-            approximate_posterior_inference=approximate_posterior_inference,
-            approximate_posterior_analysis=approximate_posterior_analysis,
-            adj_prob_theshold=adj_prob_theshold_2,
-            how_many_posterior_draws=how_many_posterior_draws_2,
-            to_exclude=to_exclude,
-            truncation_compensation=K.TRUNCATION_COMPENSATION_PASS2,
-            save_generated_quantities=save_generated_quantities,
-            additional_parameters_to_save=tuple(additional_parameters_to_save),
-            pass_fit=pass_fit,
-            seed=seed + 1,
-            **common,
-        )
+    # resume is only sound when no unserialized outputs were requested
+    resumable2 = not (pass_fit or save_generated_quantities or additional_parameters_to_save)
+    fp2 = ckpt.config_fingerprint(
+        my_df, which="pass2", thr=adj_prob_theshold_2,
+        draws=how_many_posterior_draws_2,
+        approx_analysis=approximate_posterior_analysis,
+        excluded=sorted(map(tuple, to_exclude.to_numpy().tolist())),
+        **base_cfg,
+    ) if (checkpoint_dir and resumable2) else ""
+    table2 = ckpt.load_pass(checkpoint_dir, "pass2", fp2) if resumable2 else None
+    if table2 is not None:
+        import json as _json
+
+        with open(os.path.join(checkpoint_dir, "meta.json")) as f:
+            meta2 = _json.load(f).get("pass2", {})
+        res_test = InferenceResult(table=table2, total_draws=int(meta2.get("total_draws", 0)))
+    else:
+        with timed("pass 2 (truncated test fit)"):
+            res_test = do_inference(
+                my_df,
+                approximate_posterior_inference=approximate_posterior_inference,
+                approximate_posterior_analysis=approximate_posterior_analysis,
+                adj_prob_theshold=adj_prob_theshold_2,
+                how_many_posterior_draws=how_many_posterior_draws_2,
+                to_exclude=to_exclude,
+                truncation_compensation=K.TRUNCATION_COMPENSATION_PASS2,
+                save_generated_quantities=save_generated_quantities,
+                additional_parameters_to_save=tuple(additional_parameters_to_save),
+                pass_fit=pass_fit,
+                seed=seed + 1,
+                **common,
+            )
+        if checkpoint_dir and resumable2:
+            ckpt.save_pass(
+                checkpoint_dir, "pass2", res_test.table, fp2,
+                extra={"total_draws": res_test.total_draws},
+            )
 
     # ---- merge (reference merge_results, R/utilities.R:539-608) ----------
     result = merge_results(

@@ -1,0 +1,60 @@
+"""Pass-level checkpoint/resume (utils/checkpoint.py + pipeline wiring)."""
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ppcseq_tpu import identify_outliers, load_counts
+
+
+@pytest.fixture(scope="module")
+def tiny_counts():
+    counts = load_counts()
+    return counts.assign(
+        is_significant=counts.symbol.isin(["SLC16A12", "CYP1A1", "ART3"])
+    )
+
+
+_ARGS = dict(
+    formula="~ Label",
+    sample="sample", transcript="symbol", abundance="value",
+    significance="PValue", do_check="is_significant",
+    percent_false_positive_genes=1,
+    how_many_negative_controls=20,
+    seed=19,
+)
+
+
+def test_checkpoint_resume_identical(tiny_counts, tmp_path):
+    ckpt = str(tmp_path / "ck")
+    t0 = time.time()
+    res1 = identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    t_cold = time.time() - t0
+    assert os.path.exists(os.path.join(ckpt, "pass1.parquet"))
+    assert os.path.exists(os.path.join(ckpt, "pass2.parquet"))
+
+    t0 = time.time()
+    res2 = identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    t_warm = time.time() - t0
+    assert t_warm < t_cold / 3  # both fits skipped
+    assert list(res1.tot_deleterious_outliers) == list(res2.tot_deleterious_outliers)
+    pd.testing.assert_frame_equal(
+        res1.sample_wise_data.iloc[1], res2.sample_wise_data.iloc[1]
+    )
+
+
+def test_checkpoint_invalidated_by_config_change(tiny_counts, tmp_path):
+    ckpt = str(tmp_path / "ck2")
+    identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        fp_before = json.load(f)["pass1"]["fingerprint"]
+    args = dict(_ARGS)
+    args["seed"] = 23  # different config -> both passes rerun + re-saved
+    identify_outliers(tiny_counts, checkpoint_dir=ckpt, **args)
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        fp_after = json.load(f)["pass1"]["fingerprint"]
+    assert fp_before != fp_after

@@ -93,6 +93,11 @@ def main():
 
     draws_per_sec = total_draws / elapsed
     div_frac = float(res.divergences.sum()) / total_draws
+    # convergence evidence: slope block + hyperparameters
+    from ppcseq_tpu.infer.diagnostics import summarize as diag_summarize
+
+    sel = np.r_[0:6, 6 + 2 * dims.G : 6 + 2 * dims.G + dims.n_check]
+    diag = diag_summarize(res.draws[:, :, sel])
     result = {
         "metric": "posterior_draws_per_sec_1chip_counts515",
         "value": round(draws_per_sec, 1),
@@ -108,6 +113,8 @@ def main():
             "divergence_frac": round(div_frac, 5),
             "mean_accept": round(float(res.accept_prob.mean()), 3),
             "step_size": round(res.step_size, 4),
+            "rhat_max": round(diag["rhat_max"], 3),
+            "ess_min": round(diag["ess_min"], 0),
             "device": str(jax.devices()[0]),
             "baseline_note": "est. 8-thread Stan NUTS on same model = 50 draws/s",
         },

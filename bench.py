@@ -35,6 +35,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ppcseq_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
+
     from ppcseq_tpu import load_counts
     from ppcseq_tpu.data import ingest
     from ppcseq_tpu.formula.design import create_design_matrix

@@ -67,6 +67,10 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import pandas as pd
 
+    from ppcseq_tpu.utils.compilation_cache import enable as enable_xla_cache
+
+    enable_xla_cache()
+
     from ppcseq_tpu import identify_outliers
 
     df = _read_table(args.input)

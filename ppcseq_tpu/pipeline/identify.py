@@ -159,22 +159,32 @@ def do_inference(
         if mcmc_sampler == "hmc":
             chains = K.HMC_CHAINS
             per_chain = int(np.ceil(draws_practical / chains))
-            res = run_hmc(
-                logp, dims.dim, k_fit,
-                data=data,
-                num_chains=chains,
-                num_warmup=K.HMC_WARMUP,
-                num_draws=per_chain,
-                num_leapfrog=K.HMC_LEAPFROG,
-                init_theta=warm.mean,
-                inv_mass=inv_mass,
-                dtype=dtype,
-            )
+            # divergence-retry ladder (the MCMC analog of vb_iterative,
+            # reference R/utilities.R:246-278): tighten target accept if
+            # more than 2% of proposals diverge
+            for attempt, ta in enumerate((0.8, 0.95, 0.99)):
+                res = run_hmc(
+                    logp, dims.dim, jax.random.fold_in(k_fit, attempt),
+                    data=data,
+                    num_chains=chains,
+                    num_warmup=K.HMC_WARMUP,
+                    num_draws=per_chain,
+                    num_leapfrog=K.HMC_LEAPFROG,
+                    target_accept=ta,
+                    init_theta=warm.mean,
+                    inv_mass=inv_mass,
+                    dtype=dtype,
+                )
+                if res.divergences.sum() <= 0.02 * chains * per_chain:
+                    break
+                print(f"ppcseq says: {int(res.divergences.sum())} divergent "
+                      f"transitions at target_accept={ta}; retrying tighter")
             fit_info = {
                 "method": "hmc",
                 "chains": chains,
                 "divergences": res.divergences.tolist(),
                 "step_size": res.step_size,
+                "target_accept": ta,
             }
         elif mcmc_sampler == "nuts":
             chains = chains_for_run(draws_practical, cores)

@@ -22,7 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tpu", action="store_true", help="run on the default (axon/TPU) platform")
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--nuts", action="store_true", help="NUTS instead of VB")
+    ap.add_argument("--mcmc", action="store_true", help="full MCMC (jittered HMC) instead of VB")
+    ap.add_argument("--nuts", action="store_true", help="full MCMC with the NUTS sampler")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -49,7 +50,8 @@ def main():
         do_check="is_significant",
         percent_false_positive_genes=5,
         seed=args.seed,
-        approximate_posterior_inference=not args.nuts,
+        approximate_posterior_inference=not (args.mcmc or args.nuts),
+        mcmc_sampler="nuts" if args.nuts else "hmc",
     )
     elapsed = time.time() - t0
 

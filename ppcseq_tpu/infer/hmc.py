@@ -43,6 +43,22 @@ MAX_DELTA_ENERGY = 1000.0
 
 _RUNNER_CACHE: dict = {}
 
+# static sampling-scan lengths the trajectory adaptation can select
+_L_BUCKETS = (4, 6, 8, 12, 16, 24, 32, 48, 64)
+
+
+def _halton_seq(n, base=2):
+    """Halton low-discrepancy sequence, host-side, values in (0, 1)."""
+    out = np.empty(n)
+    for k in range(n):
+        f, r, i = 1.0, 0.0, k + 1
+        while i > 0:
+            f /= base
+            r += f * (i % base)
+            i //= base
+        out[k] = r
+    return out
+
 
 @dataclass
 class HMCResult:
@@ -51,6 +67,7 @@ class HMCResult:
     divergences: np.ndarray  # [chains] count in sampling phase
     step_size: float
     num_leapfrog: int  # total leapfrog steps (all chains, warmup + sampling)
+    trajectory_length: float | None = None  # adapted T (adapt_trajectory=True)
 
 
 def _build_runner(
@@ -156,6 +173,177 @@ def _build_runner(
     return jax.jit(runner)
 
 
+def _make_parts(log_density, has_data, num_chains, L_static, dtype):
+    """Shared pieces: batched logp+grad and a snapshot-jittered transition
+    of static scan length L_static with traced snapshot step L_t."""
+
+    def logp_grad_batch(z, data):
+        if has_data:
+            lp, g = jax.vmap(jax.value_and_grad(log_density), in_axes=(0, None))(z, data)
+        else:
+            lp, g = jax.vmap(jax.value_and_grad(log_density))(z)
+        bad = ~jnp.isfinite(lp)
+        lp = jnp.where(bad, -jnp.inf, lp).astype(dtype)
+        g = jnp.where(jnp.isfinite(g), g, 0.0).astype(dtype)
+        return lp, g
+
+    def transition(z, lp, g, eps, L_t, key, data, inv_mass):
+        sqrt_inv_mass = jnp.sqrt(inv_mass)
+
+        def kinetic(r):
+            return 0.5 * jnp.sum(r * r * inv_mass[None, :], axis=1)
+
+        k_mom, k_acc = jax.random.split(key)
+        r0 = jax.random.normal(k_mom, z.shape, dtype) / sqrt_inv_mass[None, :]
+        energy0 = -lp + kinetic(r0)
+
+        def step(carry, i):
+            z, r, g, lp, prop = carry
+            r_half = r + 0.5 * eps * g
+            z1 = z + eps * (r_half * inv_mass[None, :])
+            lp1, g1 = logp_grad_batch(z1, data)
+            r1 = r_half + 0.5 * eps * g1
+            sel = (i + 1) == L_t
+            zp, rp, gp, lpp = prop
+            prop = (
+                jnp.where(sel, z1, zp),
+                jnp.where(sel, r1, rp),
+                jnp.where(sel, g1, gp),
+                jnp.where(sel, lp1, lpp),
+            )
+            return (z1, r1, g1, lp1, prop), None
+
+        init = (z, r0, g, lp, (z, r0, g, lp))
+        (_, _, _, _, (zp, rp, gp, lpp)), _ = jax.lax.scan(
+            step, init, jnp.arange(L_static)
+        )
+        energy1 = -lpp + kinetic(rp)
+        delta = energy1 - energy0
+        delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+        diverging = delta > MAX_DELTA_ENERGY
+        accept_prob = jnp.where(diverging, 0.0, jnp.minimum(1.0, jnp.exp(-delta)))
+        u = jax.random.uniform(k_acc, (num_chains,), dtype)
+        take = (u < accept_prob) & ~diverging
+        z_new = jnp.where(take[:, None], zp, z)
+        lp_new = jnp.where(take, lpp, lp)
+        g_new = jnp.where(take[:, None], gp, g)
+        return z_new, lp_new, g_new, accept_prob, diverging, (zp, rp)
+
+    return logp_grad_batch, transition
+
+
+def _build_chees_warmup(log_density, has_data, D, num_chains, num_warmup,
+                        L_cap, target_accept, dtype):
+    """Warmup that jointly adapts step size (dual averaging) and trajectory
+    length T (ChEES criterion — Hoffman, Radul & Sountsov 2021): per draw,
+    ascend d/dlogT of E[(||x'-mean||^2 - ||x-mean||^2)^2] with Adam, in
+    mass-matrix-whitened coordinates, with Halton-jittered T per draw.
+
+    Caveat (measured): on the hierarchical NB posterior the criterion is
+    dominated by the ~2G fast gene coordinates and settles at T ~3x too
+    short for the handful of slow global hyperparameters (split-Rhat 1.9
+    vs 1.05 for fixed L=32) — which is why adapt_trajectory is OPT-IN and
+    the pipeline default stays jittered fixed-L. On near-Gaussian targets
+    it adapts correctly (tests/test_hmc.py: rhat 1.002, near-iid ESS)."""
+    gamma, t0_da, kappa = 0.05, 10.0, 0.75
+    adam_lr, b1, b2, adam_eps = 0.025, 0.9, 0.999, 1e-8
+
+    logp_grad_batch, transition = _make_parts(
+        log_density, has_data, num_chains, L_cap, dtype
+    )
+
+    def warmup(data, z0, inv_mass, mu, key, u_seq):
+        sqrt_inv_mass = jnp.sqrt(inv_mass)
+
+        def step(carry, args):
+            (z, lp, g, log_eps, log_eps_avg, h_sum,
+             log_T, log_T_avg, m_adam, v_adam) = carry
+            i, k, u = args
+            eps = jnp.exp(log_eps).astype(dtype)
+            T_jit = u * jnp.exp(log_T).astype(dtype)
+            L_t = jnp.clip(
+                jnp.ceil(T_jit / eps).astype(jnp.int32), 1, L_cap
+            )
+            z1, lp1, g1, accept, div, (zp, rp) = transition(
+                z, lp, g, eps, L_t, k, data, inv_mass
+            )
+
+            # ChEES gradient in whitened coordinates
+            w = 1.0 / sqrt_inv_mass[None, :]
+            xw = z * w
+            xw_p = zp * w
+            vw_p = (rp * inv_mass[None, :]) * w  # whitened end velocity
+            xw_c = xw - xw.mean(axis=0, keepdims=True)
+            xwp_c = xw_p - xw_p.mean(axis=0, keepdims=True)
+            h = jnp.sum(xwp_c * xwp_c, axis=1) - jnp.sum(xw_c * xw_c, axis=1)
+            dh = 2.0 * jnp.sum(xwp_c * vw_p, axis=1)
+            wsum = jnp.maximum(jnp.sum(accept), 1e-6)
+            # d/dlogT with the jitter chain rule (T_t = u * T)
+            grad = jnp.sum(accept * h * dh, axis=0) / wsum * u * jnp.exp(log_T)
+            grad = jnp.where(jnp.isfinite(grad), grad, 0.0)
+            # Adam ASCENT on log T
+            count = i + 1.0
+            m_adam = b1 * m_adam + (1 - b1) * grad
+            v_adam = b2 * v_adam + (1 - b2) * grad * grad
+            m_hat = m_adam / (1 - b1**count)
+            v_hat = v_adam / (1 - b2**count)
+            log_T = log_T + adam_lr * m_hat / (jnp.sqrt(v_hat) + adam_eps)
+            log_T = jnp.clip(log_T, jnp.log(eps), jnp.log(eps * L_cap))
+            eta = count ** (-kappa)
+            log_T_avg = eta * log_T + (1 - eta) * log_T_avg
+
+            # dual averaging on eps
+            a_mean = jnp.mean(accept)
+            w_da = 1.0 / (count + t0_da)
+            h_sum = (1 - w_da) * h_sum + w_da * (target_accept - a_mean)
+            log_eps = mu - jnp.sqrt(count) / gamma * h_sum
+            log_eps_avg = eta * log_eps + (1 - eta) * log_eps_avg
+
+            return (z1, lp1, g1, log_eps, log_eps_avg, h_sum,
+                    log_T, log_T_avg, m_adam, v_adam), (a_mean, L_t)
+
+        lp, g = logp_grad_batch(z0, data)
+        le0 = mu - jnp.log(10.0).astype(dtype)
+        lT0 = le0 + jnp.log(0.5 * L_cap).astype(dtype)  # start at half the cap
+        zero = jnp.asarray(0.0, dtype)
+        idx = jnp.arange(num_warmup, dtype=dtype)
+        keys = jax.random.split(key, num_warmup)
+        carry0 = (z0, lp, g, le0, le0, zero, lT0, lT0, zero, zero)
+        (z, lp, g, _, log_eps_avg, _, _, log_T_avg, _, _), (acc, Ls) = jax.lax.scan(
+            step, carry0, (idx, keys, u_seq)
+        )
+        return z, lp, g, jnp.exp(log_eps_avg).astype(dtype), jnp.exp(log_T_avg).astype(dtype), jnp.sum(Ls)
+
+    return jax.jit(warmup)
+
+
+def _build_sampler(log_density, has_data, num_chains, num_draws, L_static, dtype):
+    """Sampling scan of static length L_static; per-draw snapshot L_t comes
+    from the Halton sequence x adapted trajectory length (operands)."""
+    logp_grad_batch, transition = _make_parts(
+        log_density, has_data, num_chains, L_static, dtype
+    )
+
+    def sampler(data, z, lp, g, eps, T, inv_mass, key, u_seq):
+        def step(carry, args):
+            z, lp, g = carry
+            k, u = args
+            L_t = jnp.clip(jnp.ceil(u * T / eps).astype(jnp.int32), 1, L_static)
+            z, lp, g, accept, div, _ = transition(z, lp, g, eps, L_t, k, data, inv_mass)
+            return (z, lp, g), (z, accept, div, L_t)
+
+        keys = jax.random.split(key, num_draws)
+        (_, _, _), (draws, accept, div, Ls) = jax.lax.scan(step, (z, lp, g), (keys, u_seq))
+        return (
+            jnp.swapaxes(draws, 0, 1),
+            jnp.swapaxes(accept, 0, 1),
+            jnp.swapaxes(div, 0, 1),
+            jnp.sum(Ls),
+        )
+
+    return jax.jit(sampler)
+
+
 def run_hmc(
     log_density,
     dim: int,
@@ -173,6 +361,7 @@ def run_hmc(
     inv_mass=None,
     step_size0: float = 0.05,
     mesh=None,
+    adapt_trajectory: bool = False,
     dtype=jnp.float32,
 ) -> HMCResult:
     """Run jittered-trajectory HMC on a flat [D] unconstrained state.
@@ -191,18 +380,19 @@ def run_hmc(
     """
     D = int(dim)
     L_min = max(1, int(np.ceil(jitter_low * num_leapfrog)))
-    cache_key = (
-        log_density, data is not None, D, num_chains, num_warmup, num_draws,
-        int(num_leapfrog), L_min, float(target_accept), jnp.dtype(dtype).name,
-        mesh,
-    )
-    runner = _RUNNER_CACHE.get(cache_key)
-    if runner is None:
-        runner = _build_runner(
-            log_density, data is not None, D, num_chains, num_warmup,
-            num_draws, int(num_leapfrog), L_min, float(target_accept), dtype,
+    if not adapt_trajectory:
+        cache_key = (
+            log_density, data is not None, D, num_chains, num_warmup, num_draws,
+            int(num_leapfrog), L_min, float(target_accept), jnp.dtype(dtype).name,
+            mesh,
         )
-        _RUNNER_CACHE[cache_key] = runner
+        runner = _RUNNER_CACHE.get(cache_key)
+        if runner is None:
+            runner = _build_runner(
+                log_density, data is not None, D, num_chains, num_warmup,
+                num_draws, int(num_leapfrog), L_min, float(target_accept), dtype,
+            )
+            _RUNNER_CACHE[cache_key] = runner
 
     if inv_mass is None:
         inv_mass = jnp.ones(D, dtype)
@@ -228,14 +418,57 @@ def run_hmc(
             )
 
     mu = jnp.asarray(np.log(10.0 * step_size0), dtype)
-    draws, accept, div, eps = runner(data, z0, inv_mass, mu, key)
-    draws = np.asarray(draws)
-    # total leapfrogs: the static scan always runs num_leapfrog per draw
-    total_lf = (num_warmup + num_draws) * num_leapfrog * num_chains
+
+    if not adapt_trajectory:
+        draws, accept, div, eps = runner(data, z0, inv_mass, mu, key)
+        total_lf = (num_warmup + num_draws) * num_leapfrog * num_chains
+        return HMCResult(
+            draws=np.asarray(draws),
+            accept_prob=np.asarray(accept),
+            divergences=np.asarray(np.asarray(div).sum(axis=1)),
+            step_size=float(eps),
+            num_leapfrog=total_lf,
+        )
+
+    # --- ChEES path: adapt trajectory length in warmup, then sample with a
+    # bucketed static scan length ------------------------------------------
+    L_cap = int(num_leapfrog)
+    wkey = ("chees_warm", log_density, data is not None, D, num_chains,
+            num_warmup, L_cap, float(target_accept), jnp.dtype(dtype).name, mesh)
+    warmup = _RUNNER_CACHE.get(wkey)
+    if warmup is None:
+        warmup = _build_chees_warmup(
+            log_density, data is not None, D, num_chains, num_warmup,
+            L_cap, float(target_accept), dtype,
+        )
+        _RUNNER_CACHE[wkey] = warmup
+
+    k_warm, k_samp = jax.random.split(key)
+    u_warm = jnp.asarray(_halton_seq(num_warmup), dtype)
+    z, lp, g, eps, T_hat, warm_lf = warmup(data, z0, inv_mass, mu, k_warm, u_warm)
+    eps_f, T_f = float(eps), float(T_hat)
+    L_star = max(1, int(np.ceil(T_f / max(eps_f, 1e-12))))
+    bucket = next((b for b in _L_BUCKETS if b >= min(L_star, L_cap)), L_cap)
+
+    skey = ("chees_samp", log_density, data is not None, D, num_chains,
+            num_draws, bucket, jnp.dtype(dtype).name, mesh)
+    sampler = _RUNNER_CACHE.get(skey)
+    if sampler is None:
+        sampler = _build_sampler(
+            log_density, data is not None, num_chains, num_draws, bucket, dtype
+        )
+        _RUNNER_CACHE[skey] = sampler
+
+    u_draws = jnp.asarray(_halton_seq(num_draws, base=3), dtype)
+    draws, accept, div, samp_lf = sampler(
+        data, z, lp, g, eps, T_hat, inv_mass, k_samp, u_draws
+    )
+    total_lf = (num_warmup * L_cap + num_draws * bucket) * num_chains
     return HMCResult(
-        draws=draws,
+        draws=np.asarray(draws),
         accept_prob=np.asarray(accept),
         divergences=np.asarray(np.asarray(div).sum(axis=1)),
-        step_size=float(eps),
+        step_size=eps_f,
         num_leapfrog=total_lf,
+        trajectory_length=T_f,
     )

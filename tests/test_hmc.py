@@ -34,6 +34,35 @@ def test_hmc_correlated_gaussian_moments():
     )
 
 
+def test_chees_adaptive_trajectory_gaussian():
+    """adapt_trajectory=True finds a good T on a correlated Gaussian."""
+    D = 8
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(D, D))
+    cov = A @ A.T / D + np.eye(D) * 0.5
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = rng.normal(size=D)
+    muj = jnp.asarray(mu)
+
+    def logp(x):
+        d = x - muj
+        return -0.5 * d @ prec @ d
+
+    res = run_hmc(
+        logp, D, jax.random.PRNGKey(1),
+        num_chains=64, num_warmup=300, num_draws=400, num_leapfrog=64,
+        adapt_trajectory=True, inv_mass=jnp.asarray(np.diag(cov)),
+    )
+    assert res.trajectory_length is not None and res.trajectory_length > 0
+    assert res.divergences.sum() == 0
+    draws = res.draws.reshape(-1, D)
+    np.testing.assert_allclose(draws.mean(axis=0), mu, atol=0.1)
+    from ppcseq_tpu.infer.diagnostics import summarize
+
+    s = summarize(res.draws)
+    assert s["rhat_max"] < 1.05
+
+
 def test_hmc_nb_model_agrees_with_advi():
     """On a small NB model, HMC posterior means match the ADVI means."""
     from ppcseq_tpu.infer.advi import fit_advi

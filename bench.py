@@ -68,7 +68,7 @@ def main():
     # Draw budget of the reference's pFP=1% detrimental run:
     # thr2 = 0.01/21*2, draws = 10/thr2 = 10500 (R/methods.R:155-167).
     num_chains = 128
-    num_warmup = 100
+    num_warmup = 60  # ADVI warm start supplies init + mass matrix
     per_chain = 83  # 128 * 83 = 10624 >= 10500
     num_leapfrog = 32
     total_draws = num_chains * per_chain

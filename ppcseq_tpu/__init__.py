@@ -19,3 +19,24 @@ __all__ = [
     "plot_credible_intervals",
     "load_counts",
 ]
+
+
+def __getattr__(name):
+    # Lazy secondary API: samplers, variational fits, diagnostics.
+    if name in ("run_hmc",):
+        from ppcseq_tpu.infer.hmc import run_hmc
+
+        return run_hmc
+    if name in ("run_nuts",):
+        from ppcseq_tpu.infer.nuts import run_nuts
+
+        return run_nuts
+    if name in ("fit_advi", "vb_iterative"):
+        from ppcseq_tpu.infer import advi
+
+        return getattr(advi, name)
+    if name in ("split_rhat", "ess"):
+        from ppcseq_tpu.infer import diagnostics
+
+        return getattr(diagnostics, name)
+    raise AttributeError(f"module 'ppcseq_tpu' has no attribute {name!r}")

@@ -1,0 +1,75 @@
+"""End-to-end statistical validation: recover injected outliers.
+
+Generates a synthetic cohort from the model's own generative process with
+known injected outlier points (utils/synthetic.py), runs the full two-pass
+pipeline, and checks detection quality. The reference has no such test —
+its suite only pins three calls on the bundled dataset.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ppcseq_tpu import identify_outliers
+from ppcseq_tpu.utils.synthetic import synthetic_cohort
+
+
+@pytest.fixture(scope="module")
+def synthetic_run():
+    S, G, n_check = 16, 160, 12
+    counts, X, exposure, truth = synthetic_cohort(
+        n_genes=G, n_samples=S, n_check=n_check, outlier_frac=0.04, seed=3
+    )
+    # tidy long table
+    rows = []
+    for s in range(S):
+        for g in range(G):
+            rows.append((f"s{s:02d}", f"g{g:04d}", int(counts[s, g]),
+                         "B" if X[s, 1] > 0 else "A", g))
+    df = pd.DataFrame(rows, columns=["sample", "transcript", "count", "group", "gidx"])
+    # significance: checked genes get tiny p-values, the rest spread out
+    df["PValue"] = np.where(df.gidx < n_check, 1e-8, df.gidx / G)
+    df["do_check"] = df.gidx < n_check
+    df = df.drop(columns=["gidx"])
+
+    res = identify_outliers(
+        df, formula="~ group",
+        sample="sample", transcript="transcript", abundance="count",
+        significance="PValue", do_check="do_check",
+        percent_false_positive_genes=5,
+        how_many_negative_controls=60,
+        do_check_only_on_detrimental=False,  # count every PPC failure
+        seed=17,
+    )
+    injected = {(s, g) for s, g in truth["outliers"] if g < n_check}
+    # a spike is only statistically detectable when it dwarfs the gene's
+    # typical same-group level; condition recall on ~8x the gene median
+    med = np.median(counts, axis=0)
+    detectable = {
+        (s, g) for s, g in injected if counts[s, g] >= 8 * max(med[g], 1.0)
+    }
+    return res, injected, detectable, n_check
+
+
+def test_injected_outliers_detected(synthetic_run):
+    res, injected, detectable, n_check = synthetic_run
+    name_of = lambda g: f"g{g:04d}"  # noqa: E731
+    flagged = set()
+    for _, row in res.iterrows():
+        swd = row["sample_wise_data"]
+        bad = swd[~swd["posterior_predictive_check_succeded"].astype(bool)]
+        for _, r in bad.iterrows():
+            flagged.add((int(r["S"]), row["transcript"]))
+    det_named = {(s, name_of(g)) for s, g in detectable}
+    assert len(det_named) >= 3  # the seed must give signal to detect
+    recall = len(flagged & det_named) / len(det_named)
+    assert recall >= 0.75, (recall, sorted(det_named), sorted(flagged))
+
+
+def test_false_positive_rate_bounded(synthetic_run):
+    res, injected, _detectable, n_check = synthetic_run
+    total_cells = sum(len(row["sample_wise_data"]) for _, row in res.iterrows())
+    total_failed = int(res["ppc_samples_failed"].sum())
+    # at pFP=5% the non-injected failure rate stays low
+    extra = total_failed - len(injected)
+    assert extra <= max(3, 0.02 * total_cells), (total_failed, len(injected), total_cells)

@@ -483,22 +483,33 @@ def flat_logp(dims: ModelDims, likelihood: str = "auto"):
     return _flat_logp_cached(dims, likelihood)
 
 
+@functools.lru_cache(maxsize=64)
+def _extract_flat_jit(dims: ModelDims):
+    def one(th, data):
+        params, _ = unpack(th, dims)
+        ll = lambda_log(params, data, dims)
+        return ll[:, : dims.n_check], params["sigma_raw"][: dims.n_check]
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+
 def extract_lambda_sigma_draws(thetas, data: ModelData, dims: ModelDims):
     """Posterior arrays the PPC needs, from draws.
 
     `thetas` is either a flat [n, D] array or a stacked pytree (leaves with a
     leading draw axis). Returns (lambda_log_param[n, S, n_check],
     sigma_raw[n, n_check]) — the reference always saves these two
-    (R/utilities.R:1373).
+    (R/utilities.R:1373). The flat path compiles once per dims (data is an
+    operand).
     """
-    def one_tree(tree):
-        params, _ = unpack_tree(tree, dims.non_centered)
-        ll = lambda_log(params, data, dims)
-        return ll[:, : dims.n_check], params["sigma_raw"][: dims.n_check]
-
     if isinstance(thetas, dict):
+        def one_tree(tree):
+            params, _ = unpack_tree(tree, dims.non_centered)
+            ll = lambda_log(params, data, dims)
+            return ll[:, : dims.n_check], params["sigma_raw"][: dims.n_check]
+
         return jax.vmap(one_tree)(thetas)
-    return jax.vmap(lambda th: one_tree(theta_to_tree(th, dims)))(thetas)
+    return _extract_flat_jit(dims)(thetas, data)
 
 
 def extract_alpha_sub_1_draws(thetas, dims: ModelDims):

@@ -20,6 +20,8 @@ jnp.quantile's "linear" method.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +61,18 @@ def summarize_draws(draws: jnp.ndarray, adj_prob_threshold: float):
     return {"lower": lo, "upper": hi, "mean": mean, "sd": sd}
 
 
+@functools.lru_cache(maxsize=128)
+def _exact_ci_jit(adj_prob_threshold: float, truncation_compensation: float):
+    @jax.jit
+    def run(key, lambda_log, sigma_raw, exposure_rate):
+        draws = counts_rng_draws(
+            key, lambda_log, sigma_raw, exposure_rate, truncation_compensation
+        )
+        return summarize_draws(draws, adj_prob_threshold), draws
+
+    return run
+
+
 def exact_ci(
     key,
     lambda_log: jnp.ndarray,
@@ -67,10 +81,35 @@ def exact_ci(
     adj_prob_threshold: float,
     truncation_compensation: float = 1.0,
 ):
-    """counts_rng summary over the actual posterior draws (reference exact path)."""
-    draws = counts_rng_draws(key, lambda_log, sigma_raw, exposure_rate, truncation_compensation)
-    out = summarize_draws(draws, adj_prob_threshold)
+    """counts_rng summary over the actual posterior draws (reference exact path).
+
+    Compiled once per (threshold, compensation) — draw arrays are operands.
+    """
+    run = _exact_ci_jit(float(adj_prob_threshold), float(truncation_compensation))
+    out, draws = run(key, lambda_log, sigma_raw, exposure_rate)
     return {k: np.asarray(v) for k, v in out.items()}, draws
+
+
+@functools.lru_cache(maxsize=128)
+def _approx_block_jit(n_super: int, adj_prob_threshold: float, truncation_compensation: float):
+    """One gene-block of the bootstrap-supersampled CI, compiled once per
+    (n_super, threshold, compensation); array shapes/data are operands."""
+
+    @jax.jit
+    def block(key, lam_blk, sig_blk, exposure_rate):
+        n_actual, S, kb = lam_blk.shape
+        k_idx, k_gamma, k_pois = jax.random.split(key, 3)
+        idx = jax.random.randint(k_idx, (n_super, S, kb), 0, n_actual)
+        lam = jnp.take_along_axis(lam_blk, idx, axis=0)
+        sig = jnp.take_along_axis(sig_blk[:, None, :].repeat(S, axis=1), idx, axis=0)
+        eta = lam + exposure_rate[None, :, None]
+        phi = jnp.exp(-sig) * truncation_compensation
+        g = jax.random.gamma(k_gamma, phi, shape=(n_super, S, kb))
+        rate = jnp.exp(eta) / phi * g
+        draws = jax.random.poisson(k_pois, rate)
+        return summarize_draws(draws, adj_prob_threshold)
+
+    return block
 
 
 def approximated_ci(
@@ -94,18 +133,7 @@ def approximated_ci(
     n_actual, S, K = lambda_log.shape
     n_super = int(how_many_posterior_draws)
 
-    def block(key, lam_blk, sig_blk):
-        kb = lam_blk.shape[2]
-        k_idx, k_gamma, k_pois = jax.random.split(key, 3)
-        idx = jax.random.randint(k_idx, (n_super, S, kb), 0, n_actual)
-        lam = jnp.take_along_axis(lam_blk, idx, axis=0)
-        sig = jnp.take_along_axis(sig_blk[:, None, :].repeat(S, axis=1), idx, axis=0)
-        eta = lam + exposure_rate[None, :, None]
-        phi = jnp.exp(-sig) * truncation_compensation
-        g = jax.random.gamma(k_gamma, phi, shape=(n_super, S, kb))
-        rate = jnp.exp(eta) / phi * g
-        draws = jax.random.poisson(k_pois, rate)
-        return summarize_draws(draws, adj_prob_threshold)
+    block = _approx_block_jit(n_super, float(adj_prob_threshold), float(truncation_compensation))
 
     # chunk genes so the supersampled [n_super, S, kb] tile stays < ~64M elems
     kb_max = max(1, int(64e6 / (n_super * S)))
@@ -113,6 +141,11 @@ def approximated_ci(
     for start in range(0, K, kb_max):
         key, sub = jax.random.split(key)
         outs.append(
-            block(sub, lambda_log[:, :, start : start + kb_max], sigma_raw[:, start : start + kb_max])
+            block(
+                sub,
+                lambda_log[:, :, start : start + kb_max],
+                sigma_raw[:, start : start + kb_max],
+                exposure_rate,
+            )
         )
     return {k: np.concatenate([np.asarray(o[k]) for o in outs], axis=-1) for k in outs[0]}

@@ -356,7 +356,20 @@ def identify_outliers(
     Mirrors the reference's public API (R/methods.R:74-98). Returns a nested
     DataFrame: one row per checked transcript with columns [transcript,
     sample_wise_data, ppc_samples_failed, tot_deleterious_outliers*]
-    (*when do_check_only_on_detrimental). Provenance is in `.attrs`.
+    (*when do_check_only_on_detrimental). Provenance is in `.attrs`
+    (formula, column names, total_draws; `fit 1`/`fit 2` with pass_fit;
+    `additional_parameters` when requested).
+
+    Beyond the reference surface:
+    - mcmc_sampler: "hmc" (default; jittered-trajectory HMC, 128 vmapped
+      chains — the TPU-native fast path) or "nuts" (dynamic-tree sampler)
+      for the approximate_posterior_inference=False route.
+    - additional_parameters_to_save: names of constrained parameters whose
+      posterior draws to keep (reference R/methods.R:90); also "sigma" and
+      "lambda_log_param".
+    - checkpoint_dir: persist each pass's results keyed by a config+data
+      fingerprint; an identical rerun resumes without refitting.
+    - dtype: float32 (TPU default) or float64 (CPU validation).
     """
     if cores is None:
         cores = os.cpu_count() or 1

@@ -369,65 +369,39 @@ class NUTSResult:
     num_leapfrog: int  # total leapfrog steps, warmup + sampling
 
 
-def run_nuts(
-    log_density,
-    prototype,
-    key,
-    *,
-    num_chains: int = 4,
-    num_warmup: int = 150,
-    num_draws: int = 250,
-    max_depth: int = 10,
-    target_accept: float = 0.8,
-    init_theta=None,
-    init_scale: float = 2.0,
-    init_jitter: float = 0.1,
-    inv_mass_init=None,
-    dtype=jnp.float32,
-) -> NUTSResult:
-    """Run vectorized multi-chain NUTS; returns post-warmup draws.
+_NUTS_RUNNER_CACHE: dict = {}
 
-    `prototype` defines the state structure: an int D (flat vector state), an
-    example array, or an example pytree. Chains are vmapped: one compiled
-    program advances all chains in lockstep (the reference forks one OS
-    process per chain, R/utilities.R:1497-1502).
-    """
-    if isinstance(prototype, int):
-        prototype = jnp.zeros(prototype, dtype)
-    proto = jax.tree.map(lambda x: jnp.asarray(x, dtype), prototype)
 
-    logp_grad_raw = jax.value_and_grad(log_density)
-
-    def logp_grad(z):
-        lp, g = logp_grad_raw(z)
-        bad = ~jnp.isfinite(lp)
-        lp = jnp.where(bad, -jnp.inf, lp)
-        g = jax.tree.map(lambda gi: jnp.where(jnp.isfinite(gi), gi, 0.0), g)
-        return lp, g
-
-    key, k_init = jax.random.split(key)
-    chain_keys = jax.random.split(key, num_chains)
-    init_keys = jax.random.split(k_init, num_chains)
-
-    if init_theta is None:
-        z0 = jax.vmap(lambda k: tree_uniform_like(k, proto, -init_scale, init_scale))(init_keys)
-    else:
-        base = jax.tree.map(lambda x: jnp.asarray(x, dtype), init_theta)
-        z0 = jax.vmap(
-            lambda k: tree_axpy(init_jitter, tree_normal_like(k, base), base)
-        )(init_keys)
-
+def _build_nuts_runners(
+    log_density, has_data, num_warmup, num_draws, max_depth, target_accept
+):
+    """Jitted (warmup, sample) programs with the model data, initial states
+    and mass matrix as operands. Cached per (log-density fn, static config)
+    by run_nuts, so repeated fits of one model family (the pipeline's two
+    passes; retry attempts) reuse one compile — the same contract as
+    infer.hmc's _RUNNER_CACHE and infer.advi's _FNS_CACHE."""
     schedule, metric_start, term_buffer = build_warmup_schedule(num_warmup)
     schedule = tuple(schedule)
 
-    ones_mass = jax.tree.map(jnp.ones_like, proto)
-    mass0 = (
-        jax.tree.map(lambda x: jnp.asarray(x, dtype), inv_mass_init)
-        if inv_mass_init is not None
-        else ones_mass
-    )
+    def make_logp_grad(data):
+        if has_data:
+            raw = jax.value_and_grad(lambda z: log_density(z, data))
+        else:
+            raw = jax.value_and_grad(log_density)
 
-    def chain_warmup(z, key):
+        def logp_grad(z):
+            lp, g = raw(z)
+            bad = ~jnp.isfinite(lp)
+            lp = jnp.where(bad, -jnp.inf, lp)
+            g = jax.tree.map(lambda gi: jnp.where(jnp.isfinite(gi), gi, 0.0), g)
+            return lp, g
+
+        return logp_grad
+
+    def chain_warmup(data, z, mass0, key):
+        logp_grad = make_logp_grad(data)
+        proto = z  # per-chain state defines the structure
+        dtype = jnp.result_type(*[x.dtype for x in jax.tree.leaves(z)])
         lp, g = logp_grad(z)
 
         # crude reasonable-epsilon search: first-step accept prob ~ 0.8
@@ -471,16 +445,19 @@ def run_nuts(
             return (z, lp, g, da, wf, inv_mass, key), stats["num_steps"]
 
         idx = jnp.arange(num_warmup)
-        window_end = jnp.zeros(num_warmup, bool)
+        window_end = np.zeros(num_warmup, bool)
         for e in schedule:
-            window_end = window_end.at[e - 1].set(True)
+            window_end[e - 1] = True
+        window_end = jnp.asarray(window_end)
         (z, lp, g, da, wf, inv_mass, key), steps = jax.lax.scan(
             warmup_step, (z, lp, g, da, wf, inv_mass, key), (idx, window_end)
         )
         eps_final = jnp.exp(da.log_eps_avg)
         return z, lp, g, eps_final, inv_mass, jnp.sum(steps)
 
-    def chain_sample(z, lp, g, eps, inv_mass, key):
+    def chain_sample(data, z, lp, g, eps, inv_mass, key):
+        logp_grad = make_logp_grad(data)
+
         def step(carry, k):
             z, lp, g = carry
             z, lp, g, stats = _nuts_transition(logp_grad, z, lp, g, eps, inv_mass, k, max_depth)
@@ -490,12 +467,78 @@ def run_nuts(
         (_, _, _), (draws, accept, div, steps) = jax.lax.scan(step, (z, lp, g), keys)
         return draws, accept, div, jnp.sum(steps)
 
-    warm = jax.jit(jax.vmap(chain_warmup))
-    samp = jax.jit(jax.vmap(chain_sample))
+    warm = jax.jit(jax.vmap(chain_warmup, in_axes=(None, 0, None, 0)))
+    samp = jax.jit(jax.vmap(chain_sample, in_axes=(None, 0, 0, 0, 0, 0, 0)))
+    return warm, samp
 
-    z, lp, g, eps, inv_mass, warm_steps = warm(z0, chain_keys)
+
+def run_nuts(
+    log_density,
+    prototype,
+    key,
+    *,
+    data=None,
+    num_chains: int = 4,
+    num_warmup: int = 150,
+    num_draws: int = 250,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_theta=None,
+    init_scale: float = 2.0,
+    init_jitter: float = 0.1,
+    inv_mass_init=None,
+    dtype=jnp.float32,
+) -> NUTSResult:
+    """Run vectorized multi-chain NUTS; returns post-warmup draws.
+
+    `prototype` defines the state structure: an int D (flat vector state), an
+    example array, or an example pytree. Chains are vmapped: one compiled
+    program advances all chains in lockstep (the reference forks one OS
+    process per chain, R/utilities.R:1497-1502).
+
+    With `data` given, `log_density(theta, data)` is used and the compiled
+    warmup/sampling programs are cached per (log-density fn, static config)
+    with the data as a jit operand — pass a stable fn (e.g.
+    nb_model.flat_logp(dims)) so repeated fits share one compile.
+    """
+    if isinstance(prototype, int):
+        prototype = jnp.zeros(prototype, dtype)
+    proto = jax.tree.map(lambda x: jnp.asarray(x, dtype), prototype)
+
+    key, k_init = jax.random.split(key)
+    chain_keys = jax.random.split(key, num_chains)
+    init_keys = jax.random.split(k_init, num_chains)
+
+    if init_theta is None:
+        z0 = jax.vmap(lambda k: tree_uniform_like(k, proto, -init_scale, init_scale))(init_keys)
+    else:
+        base = jax.tree.map(lambda x: jnp.asarray(x, dtype), init_theta)
+        z0 = jax.vmap(
+            lambda k: tree_axpy(init_jitter, tree_normal_like(k, base), base)
+        )(init_keys)
+
+    mass0 = (
+        jax.tree.map(lambda x: jnp.asarray(x, dtype), inv_mass_init)
+        if inv_mass_init is not None
+        else jax.tree.map(jnp.ones_like, proto)
+    )
+
+    cache_key = (
+        log_density, data is not None, num_warmup, num_draws,
+        int(max_depth), float(target_accept),
+    )
+    runners = _NUTS_RUNNER_CACHE.get(cache_key)
+    if runners is None:
+        runners = _build_nuts_runners(
+            log_density, data is not None, num_warmup, num_draws,
+            int(max_depth), float(target_accept),
+        )
+        _NUTS_RUNNER_CACHE[cache_key] = runners
+    warm, samp = runners
+
+    z, lp, g, eps, inv_mass, warm_steps = warm(data, z0, mass0, chain_keys)
     keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(chain_keys)
-    draws, accept, div, samp_steps = samp(z, lp, g, eps, inv_mass, keys2)
+    draws, accept, div, samp_steps = samp(data, z, lp, g, eps, inv_mass, keys2)
 
     is_tree = not isinstance(draws, jnp.ndarray)
     return NUTSResult(

@@ -190,7 +190,8 @@ def do_inference(
             chains = chains_for_run(draws_practical, cores)
             per_chain = mcmc_iterations(draws_practical, chains)
             res = run_nuts(
-                lambda th: logp(th, data), dims.dim, k_fit,
+                logp, dims.dim, k_fit,
+                data=data,
                 num_chains=chains,
                 num_warmup=K.MCMC_WARMUP,
                 num_draws=per_chain,
@@ -263,12 +264,16 @@ def do_inference(
             truncation_compensation,
         )
     else:
+        # the full [draws, S, K] counts_rng is only kept on host when the
+        # user asked for generated quantities; otherwise the gene-chunked
+        # summaries suffice and the exact path stays O(tile) in memory
         ci, rng_draws = exact_ci(
             k_ci, lambda_log_draws, sigma_raw_draws,
             jnp.asarray(md.exposure_rate, dtype),
             adj_prob_theshold, truncation_compensation,
+            return_draws=save_generated_quantities or pass_fit,
         )
-        counts_rng = np.asarray(rng_draws)
+        counts_rng = None if rng_draws is None else np.asarray(rng_draws)
 
     # Assemble the per-(S, checked G) table
     nc = dims.n_check
@@ -535,7 +540,9 @@ def identify_outliers(
                 save_generated_quantities=save_generated_quantities,
                 additional_parameters_to_save=tuple(additional_parameters_to_save),
                 pass_fit=pass_fit,
-                seed=seed + 1,
+                # the reference reuses the same seed for both passes
+                # (R/methods.R:284, 340-341)
+                seed=seed,
                 **common,
             )
         if checkpoint_dir and resumable2:

@@ -80,14 +80,42 @@ def exact_ci(
     exposure_rate: jnp.ndarray,
     adj_prob_threshold: float,
     truncation_compensation: float = 1.0,
+    max_tile_elems: int = 64_000_000,
+    return_draws: bool = True,
 ):
     """counts_rng summary over the actual posterior draws (reference exact path).
 
     Compiled once per (threshold, compensation) — draw arrays are operands.
+    Genes are chunked so at most `max_tile_elems` simulated counts live in
+    HBM at a time (the same tiling as the approximated path). With
+    `return_draws`, the full [n_draws, S, K] counts_rng lands in HOST
+    memory (needed for save_generated_quantities; the pipeline's RAM
+    regression guards its feasibility, reference R/methods.R:169-195);
+    without it only the [S, K] summaries are kept, so the exact path runs
+    at 50k-gene scale in O(tile) device and O(S*K) host memory.
     """
     run = _exact_ci_jit(float(adj_prob_threshold), float(truncation_compensation))
-    out, draws = run(key, lambda_log, sigma_raw, exposure_rate)
-    return {k: np.asarray(v) for k, v in out.items()}, draws
+    n, S, K = lambda_log.shape
+    kb_max = max(1, int(max_tile_elems / max(n * S, 1)))
+    if K <= kb_max and return_draws:
+        out, draws = run(key, lambda_log, sigma_raw, exposure_rate)
+        return {k: np.asarray(v) for k, v in out.items()}, np.asarray(draws)
+    outs = []
+    blocks = []
+    for start in range(0, K, kb_max):
+        key, sub = jax.random.split(key)
+        out, draws = run(
+            sub,
+            lambda_log[:, :, start : start + kb_max],
+            sigma_raw[:, start : start + kb_max],
+            exposure_rate,
+        )
+        outs.append({k: np.asarray(v) for k, v in out.items()})
+        if return_draws:
+            blocks.append(np.asarray(draws))
+        del draws
+    summary = {k: np.concatenate([o[k] for o in outs], axis=-1) for k in outs[0]}
+    return summary, (np.concatenate(blocks, axis=-1) if return_draws else None)
 
 
 @functools.lru_cache(maxsize=128)

@@ -235,18 +235,21 @@ def _make_parts(log_density, has_data, num_chains, L_static, dtype):
 def _build_chees_warmup(log_density, has_data, D, num_chains, num_warmup,
                         L_cap, target_accept, dtype):
     """Warmup that jointly adapts step size (dual averaging) and trajectory
-    length T (ChEES criterion — Hoffman, Radul & Sountsov 2021): per draw,
-    ascend d/dlogT of E[(||x'-mean||^2 - ||x-mean||^2)^2] with Adam, in
-    mass-matrix-whitened coordinates, with Halton-jittered T per draw.
+    length T by ascending a ChEES-family criterion with Adam, with
+    Halton-jittered T per draw.
 
-    Caveat (measured): on the hierarchical NB posterior the criterion is
-    dominated by the ~2G fast gene coordinates and settles at T ~3x too
-    short for the handful of slow global hyperparameters (split-Rhat 1.9
-    vs 1.05 for fixed L=32) — which is why adapt_trajectory is OPT-IN and
-    the pipeline default stays jittered fixed-L. On near-Gaussian targets
-    it adapts correctly (tests/test_hmc.py: rhat 1.002, near-iid ESS)."""
+    The criterion is SNAPER (Sountsov & Hoffman 2022): the squared change of
+    the SQUARED PRINCIPAL-COMPONENT PROJECTION, E[(p(x')^2 - p(x)^2)^2]
+    with p(x) = <x - mean, u> in mass-matrix-whitened coordinates, where u
+    is the leading eigenvector of the whitened posterior covariance,
+    estimated online across chains by Oja's rule. Projecting makes the
+    criterion track the SLOWEST direction; the original full-norm ChEES
+    criterion is a sum over all D coordinates, which on the hierarchical NB
+    posterior is dominated by the ~2G fast gene coordinates and settles at
+    T ~3x too short for the global hyperparameters (split-Rhat 1.9; the
+    round-1 known-wrong behavior this replaces)."""
     gamma, t0_da, kappa = 0.05, 10.0, 0.75
-    adam_lr, b1, b2, adam_eps = 0.025, 0.9, 0.999, 1e-8
+    adam_lr, b1, b2, adam_eps = 0.05, 0.9, 0.999, 1e-8
 
     logp_grad_batch, transition = _make_parts(
         log_density, has_data, num_chains, L_cap, dtype
@@ -257,7 +260,7 @@ def _build_chees_warmup(log_density, has_data, D, num_chains, num_warmup,
 
         def step(carry, args):
             (z, lp, g, log_eps, log_eps_avg, h_sum,
-             log_T, log_T_avg, m_adam, v_adam) = carry
+             log_T, log_T_avg, m_adam, v_adam, pc) = carry
             i, k, u = args
             eps = jnp.exp(log_eps).astype(dtype)
             T_jit = u * jnp.exp(log_T).astype(dtype)
@@ -268,15 +271,29 @@ def _build_chees_warmup(log_density, has_data, D, num_chains, num_warmup,
                 z, lp, g, eps, L_t, k, data, inv_mass
             )
 
-            # ChEES gradient in whitened coordinates
+            # whitened coordinates
             w = 1.0 / sqrt_inv_mass[None, :]
             xw = z * w
             xw_p = zp * w
             vw_p = (rp * inv_mass[None, :]) * w  # whitened end velocity
             xw_c = xw - xw.mean(axis=0, keepdims=True)
             xwp_c = xw_p - xw_p.mean(axis=0, keepdims=True)
-            h = jnp.sum(xwp_c * xwp_c, axis=1) - jnp.sum(xw_c * xw_c, axis=1)
-            dh = 2.0 * jnp.sum(xwp_c * vw_p, axis=1)
+
+            # Oja's rule on the post-accept chain batch: pc tracks the
+            # leading eigenvector of the whitened posterior covariance
+            x1w = z1 * w
+            x1w_c = x1w - x1w.mean(axis=0, keepdims=True)  # [chains, D]
+            cov_pc = x1w_c.T @ (x1w_c @ pc) / num_chains
+            lr_oja = 3.0 / (i + 10.0)
+            pc_new = pc + lr_oja.astype(dtype) * cov_pc
+            pc = pc_new / jnp.maximum(jnp.linalg.norm(pc_new), 1e-20)
+
+            # SNAPER criterion on the principal projection
+            proj0 = xw_c @ pc  # [chains]
+            proj1 = xwp_c @ pc
+            projv = vw_p @ pc
+            h = proj1 * proj1 - proj0 * proj0
+            dh = 2.0 * proj1 * projv
             wsum = jnp.maximum(jnp.sum(accept), 1e-6)
             # d/dlogT with the jitter chain rule (T_t = u * T)
             grad = jnp.sum(accept * h * dh, axis=0) / wsum * u * jnp.exp(log_T)
@@ -300,16 +317,19 @@ def _build_chees_warmup(log_density, has_data, D, num_chains, num_warmup,
             log_eps_avg = eta * log_eps + (1 - eta) * log_eps_avg
 
             return (z1, lp1, g1, log_eps, log_eps_avg, h_sum,
-                    log_T, log_T_avg, m_adam, v_adam), (a_mean, L_t)
+                    log_T, log_T_avg, m_adam, v_adam, pc), (a_mean, L_t)
 
         lp, g = logp_grad_batch(z0, data)
         le0 = mu - jnp.log(10.0).astype(dtype)
         lT0 = le0 + jnp.log(0.5 * L_cap).astype(dtype)  # start at half the cap
         zero = jnp.asarray(0.0, dtype)
+        # init principal direction from the chain spread (deterministic)
+        pc0 = z0[0] - z0[-1]
+        pc0 = (pc0 / jnp.maximum(jnp.linalg.norm(pc0), 1e-20)).astype(dtype)
         idx = jnp.arange(num_warmup, dtype=dtype)
         keys = jax.random.split(key, num_warmup)
-        carry0 = (z0, lp, g, le0, le0, zero, lT0, lT0, zero, zero)
-        (z, lp, g, _, log_eps_avg, _, _, log_T_avg, _, _), (acc, Ls) = jax.lax.scan(
+        carry0 = (z0, lp, g, le0, le0, zero, lT0, lT0, zero, zero, pc0)
+        (z, lp, g, _, log_eps_avg, _, _, log_T_avg, _, _, _), (acc, Ls) = jax.lax.scan(
             step, carry0, (idx, keys, u_seq)
         )
         return z, lp, g, jnp.exp(log_eps_avg).astype(dtype), jnp.exp(log_T_avg).astype(dtype), jnp.sum(Ls)

@@ -63,6 +63,35 @@ def test_chees_adaptive_trajectory_gaussian():
     assert s["rhat_max"] < 1.05
 
 
+def test_snaper_targets_slow_directions():
+    """The round-1 ChEES failure mode: many fast coordinates + a few slow
+    ones. The full-norm criterion was dominated by the fast block and
+    settled ~3x short; the SNAPER projection criterion must adapt T to the
+    SLOW scale (regression for infer/hmc.py trajectory adaptation)."""
+    D_fast, D_slow, slow_sd = 195, 5, 10.0
+    var = np.ones(D_fast + D_slow)
+    var[D_fast:] = slow_sd**2
+    prec = jnp.asarray(1.0 / var)
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x * prec)
+
+    res = run_hmc(
+        logp, D_fast + D_slow, jax.random.PRNGKey(3),
+        num_chains=64, num_warmup=300, num_draws=300, num_leapfrog=64,
+        adapt_trajectory=True,  # unit mass matrix: the slow block is 10x wider
+    )
+    # optimal T for the slow block ~ slow_sd * pi/2 ~ 15.7; the fast block
+    # alone would prefer T ~ 1.6. Require T to be well past the fast scale.
+    assert res.trajectory_length > 5.0, res.trajectory_length
+    from ppcseq_tpu.infer.diagnostics import summarize
+
+    s = summarize(res.draws[:, :, D_fast:])  # the slow block must mix
+    assert s["rhat_max"] < 1.1, s
+    slow_draws = res.draws.reshape(-1, D_fast + D_slow)[:, D_fast:]
+    np.testing.assert_allclose(slow_draws.std(axis=0), slow_sd, rtol=0.25)
+
+
 def test_hmc_nb_model_agrees_with_advi():
     """On a small NB model, HMC posterior means match the ADVI means."""
     from ppcseq_tpu.infer.advi import fit_advi

@@ -42,6 +42,19 @@ def test_multi_covariate_formula(small_counts):
     assert "Label" in swd.columns and "batch" in swd.columns
 
 
+def test_interaction_formula(small_counts):
+    """~ Label * batch (C=4, incl. the interaction column) runs end-to-end.
+
+    Exercises the full `model.matrix` interaction semantics (reference gets
+    these free from R, R/utilities.R:887-900) through the pipeline.
+    """
+    res = identify_outliers(small_counts, formula="~ Label * batch", **_BASE)
+    assert len(res) == 3
+    calls = dict(zip(res.symbol, res.tot_deleterious_outliers))
+    assert calls["CYP1A1"] >= 1
+    assert res.attrs["formula"] == "~ Label * batch"
+
+
 def test_intercept_only_formula(small_counts):
     """~ 1: no covariates -> no deleterious classification, only ppc."""
     res = identify_outliers(small_counts, formula="~ 1", **_BASE)

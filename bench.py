@@ -13,22 +13,44 @@ operand, so the timed run reuses the compiled executables — the same way
 the two passes of identify_outliers share one compile.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). The
-comparison constant below is an estimate of 8-thread Stan (rstan NUTS,
-map_rect/TBB) on this model: ~1-2 us per NB2 term + reverse-mode tape per
-gradient (10.8k terms), ~2^5-2^6 leapfrogs/draw after adaptation, 8-way
-thread speedup on the shard loop => O(10-100) draws/sec. We use 50 draws/sec
-as the documented baseline; vs_baseline = draws_per_sec / 50.
+primary baseline is MEASURED: scripts/baseline_cpu.py runs this repo's own
+dynamic-tree NUTS (the same sampler family rstan uses) on the same 515-gene
+model on host CPU and extrapolates to 8 threads; its result is committed as
+BASELINE_MEASURED.json and loaded here. The round-1 hand-derived estimate
+(~50 draws/s for 8-thread Stan map_rect/TBB) is kept only as a fallback.
+Wall-clock draws/s through the TPU tunnel varies ~2x run-to-run, so the
+detail block leads with the noise-robust metrics: leapfrogs/s (deterministic
+compute) and min-ESS/s (the honest statistical throughput).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-STAN_8THREAD_DRAWS_PER_SEC_ESTIMATE = 50.0
+STAN_8THREAD_DRAWS_PER_SEC_ESTIMATE = 50.0  # round-1 fallback
+
+
+def _baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return (
+            float(m["draws_per_sec_8thread_extrapolated"]),
+            m.get("ess_per_sec_measured"),
+            "measured CPU NUTS proxy (BASELINE_MEASURED.json, scripts/baseline_cpu.py)",
+        )
+    except (OSError, KeyError, ValueError):
+        return (
+            STAN_8THREAD_DRAWS_PER_SEC_ESTIMATE,
+            None,
+            "est. 8-thread Stan NUTS on same model = 50 draws/s",
+        )
 
 
 def main():
@@ -109,25 +131,34 @@ def main():
 
     sel = np.r_[0:6, 6 + 2 * dims.G : 6 + 2 * dims.G + dims.n_check]
     diag = diag_summarize(res.draws[:, :, sel])
+    baseline_dps, baseline_ess_ps, baseline_note = _baseline()
+    ess_per_sec = diag["ess_min"] / elapsed
     result = {
         "metric": "posterior_draws_per_sec_1chip_counts515",
         "value": round(draws_per_sec, 1),
         "unit": "draws/s",
-        "vs_baseline": round(draws_per_sec / STAN_8THREAD_DRAWS_PER_SEC_ESTIMATE, 1),
+        "vs_baseline": round(draws_per_sec / baseline_dps, 1),
         "detail": {
+            # noise-robust primary metrics first: leapfrogs/s is
+            # compute-deterministic, min-ESS/s is the statistical throughput
+            "leapfrogs_per_sec": round(res.num_leapfrog / elapsed, 1),
+            "ess_per_sec": round(ess_per_sec, 1),
+            "ess_per_sec_vs_baseline": (
+                round(ess_per_sec / baseline_ess_ps, 1) if baseline_ess_ps else None
+            ),
+            "baseline_measured_draws_per_sec": baseline_dps,
             "total_draws": total_draws,
             "chains": num_chains,
             "sampler": "jittered-HMC (ADVI warm start), infer/hmc.py",
             "elapsed_s": round(elapsed, 2),
             "leapfrog_steps": res.num_leapfrog,
-            "leapfrogs_per_sec": round(res.num_leapfrog / elapsed, 1),
             "divergence_frac": round(div_frac, 5),
             "mean_accept": round(float(res.accept_prob.mean()), 3),
             "step_size": round(res.step_size, 4),
             "rhat_max": round(diag["rhat_max"], 3),
             "ess_min": round(diag["ess_min"], 0),
             "device": str(jax.devices()[0]),
-            "baseline_note": "est. 8-thread Stan NUTS on same model = 50 draws/s",
+            "baseline_note": baseline_note,
         },
     }
     print(json.dumps(result))

@@ -492,3 +492,237 @@ def run_hmc(
         num_leapfrog=total_lf,
         trajectory_length=T_f,
     )
+
+
+# ----------------------------------------------------------------------------
+# Tree-state (gene-shardable) jittered HMC
+# ----------------------------------------------------------------------------
+#
+# The flat runner above keeps the state as one [chains, D] matrix — fastest
+# single-device layout, and chain-shardable. For GENE-axis scaling (the
+# map_rect/MPI analog, stan:226-240) the state must instead be the parameter
+# pytree so per-gene leaves ([chains, G]) can carry a `genes` NamedSharding
+# while scalars replicate. This runner is the same algorithm over pytrees:
+# static-length lax.scan integrator (no while_loops), so — unlike the
+# gene-sharded NUTS tree-build — GSPMD partitions it in seconds, making the
+# gene axis measurable at scale on a virtual CPU mesh and on real pods.
+
+
+def _bsum(x):
+    """Per-chain reduction: sum over all non-leading axes."""
+    return jnp.sum(x, axis=tuple(range(1, x.ndim)))
+
+
+def _bwhere(pred, a, b):
+    """tree_where with a per-chain [chains] predicate."""
+    return jax.tree.map(
+        lambda x, y: jnp.where(pred.reshape((-1,) + (1,) * (x.ndim - 1)), x, y), a, b
+    )
+
+
+def _build_tree_runner(
+    log_density, has_data, num_chains, num_warmup, num_draws,
+    num_leapfrog, L_min, target_accept, dtype,
+):
+    gamma, t0_da, kappa = 0.05, 10.0, 0.75
+
+    def logp_grad_batch(z, data):
+        if has_data:
+            lp, g = jax.vmap(jax.value_and_grad(log_density), in_axes=(0, None))(z, data)
+        else:
+            lp, g = jax.vmap(jax.value_and_grad(log_density))(z)
+        bad = ~jnp.isfinite(lp)
+        lp = jnp.where(bad, -jnp.inf, lp).astype(dtype)
+        g = jax.tree.map(lambda gi: jnp.where(jnp.isfinite(gi), gi, 0.0).astype(dtype), g)
+        return lp, g
+
+    def runner(data, z0, inv_mass, mu, key):
+        # inv_mass leaves have the UNstacked shape; broadcast over chains
+        im_b = jax.tree.map(lambda im: im[None], inv_mass)
+        sd_b = jax.tree.map(lambda im: jnp.sqrt(im)[None], inv_mass)
+
+        def kinetic(r):
+            parts = jax.tree.leaves(
+                jax.tree.map(lambda ri, im: _bsum(ri * ri * im), r, im_b)
+            )
+            return 0.5 * sum(parts)
+
+        def transition(z, lp, g, eps, key):
+            from ppcseq_tpu.model.params import tree_normal_like
+
+            k_mom, k_len, k_acc = jax.random.split(key, 3)
+            L_t = jax.random.randint(k_len, (), L_min, num_leapfrog + 1)
+            r0 = jax.tree.map(
+                lambda n, sd: n / sd, tree_normal_like(k_mom, z), sd_b
+            )
+            energy0 = -lp + kinetic(r0)
+
+            def step(carry, i):
+                z, r, g, lp, prop = carry
+                r_half = jax.tree.map(lambda ri, gi: ri + 0.5 * eps * gi, r, g)
+                z1 = jax.tree.map(lambda zi, ri, im: zi + eps * ri * im, z, r_half, im_b)
+                lp1, g1 = logp_grad_batch(z1, data)
+                r1 = jax.tree.map(lambda ri, gi: ri + 0.5 * eps * gi, r_half, g1)
+                sel = (i + 1) == L_t
+                zp, rp, gp, lpp = prop
+                prop = (
+                    jax.tree.map(lambda a, b: jnp.where(sel, a, b), z1, zp),
+                    jax.tree.map(lambda a, b: jnp.where(sel, a, b), r1, rp),
+                    jax.tree.map(lambda a, b: jnp.where(sel, a, b), g1, gp),
+                    jnp.where(sel, lp1, lpp),
+                )
+                return (z1, r1, g1, lp1, prop), None
+
+            init = (z, r0, g, lp, (z, r0, g, lp))
+            (_, _, _, _, (zp, rp, gp, lpp)), _ = jax.lax.scan(
+                step, init, jnp.arange(num_leapfrog)
+            )
+            energy1 = -lpp + kinetic(rp)
+            delta = energy1 - energy0
+            delta = jnp.where(jnp.isnan(delta), jnp.inf, delta)
+            diverging = delta > MAX_DELTA_ENERGY
+            accept_prob = jnp.where(diverging, 0.0, jnp.minimum(1.0, jnp.exp(-delta)))
+            u = jax.random.uniform(k_acc, (num_chains,), dtype)
+            take = (u < accept_prob) & ~diverging
+            z_new = _bwhere(take, zp, z)
+            lp_new = jnp.where(take, lpp, lp)
+            g_new = _bwhere(take, gp, g)
+            return z_new, lp_new, g_new, accept_prob, diverging
+
+        def warmup_step(carry, args):
+            z, lp, g, log_eps, log_eps_avg, h_sum = carry
+            i, k = args
+            eps = jnp.exp(log_eps).astype(dtype)
+            z, lp, g, accept, _ = transition(z, lp, g, eps, k)
+            a_mean = jnp.mean(accept)
+            count = i + 1.0
+            w = 1.0 / (count + t0_da)
+            h_sum = (1 - w) * h_sum + w * (target_accept - a_mean)
+            log_eps = mu - jnp.sqrt(count) / gamma * h_sum
+            eta = count ** (-kappa)
+            log_eps_avg = eta * log_eps + (1 - eta) * log_eps_avg
+            return (z, lp, g, log_eps, log_eps_avg, h_sum), a_mean
+
+        def sample_step(carry, k):
+            z, lp, g, eps = carry
+            z, lp, g, accept, div = transition(z, lp, g, eps, k)
+            return (z, lp, g, eps), (z, accept, div)
+
+        lp, g = logp_grad_batch(z0, data)
+        k_warm, k_samp = jax.random.split(key)
+        wkeys = jax.random.split(k_warm, num_warmup)
+        idx = jnp.arange(num_warmup, dtype=dtype)
+        le0 = mu - jnp.log(10.0).astype(dtype)
+        (z, lp, g, _, log_eps_avg, _), _ = jax.lax.scan(
+            warmup_step, (z0, lp, g, le0, le0, jnp.asarray(0.0, dtype)), (idx, wkeys)
+        )
+        eps = jnp.exp(log_eps_avg).astype(dtype)
+        skeys = jax.random.split(k_samp, num_draws)
+        (_, _, _, _), (draws, accept, div) = jax.lax.scan(
+            sample_step, (z, lp, g, eps), skeys
+        )
+        # leaves [num_draws, chains, ...] -> [chains, num_draws, ...]
+        draws = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), draws)
+        return draws, jnp.swapaxes(accept, 0, 1), jnp.swapaxes(div, 0, 1), eps
+
+    return jax.jit(runner)
+
+
+def run_hmc_tree(
+    log_density,
+    prototype,
+    key,
+    *,
+    data=None,
+    num_chains: int = 8,
+    num_warmup: int = 100,
+    num_draws: int = 100,
+    num_leapfrog: int = 32,
+    jitter_low: float = 0.4,
+    target_accept: float = 0.8,
+    init_theta=None,
+    init_jitter: float = 0.1,
+    inv_mass=None,
+    step_size0: float = 0.05,
+    mesh=None,
+    dims=None,
+    dtype=jnp.float32,
+) -> HMCResult:
+    """Jittered-trajectory HMC over a pytree state, gene-shardable.
+
+    Same algorithm as `run_hmc`, but the state is the unconstrained
+    parameter pytree stacked over a leading chain axis, so per-gene leaves
+    can be sharded over a `genes` mesh axis — the TPU-native equivalent of
+    the reference's map_rect gene fan-out (stan:226-240): elementwise
+    leapfrog math stays local to each gene shard and the only collectives
+    are the psums GSPMD inserts for the scalar energy/log-density
+    reductions. Chains ride a vmap axis and shard too when the mesh has a
+    `chains` axis.
+
+    With `mesh` and `dims` given, the initial state / mass matrix / model
+    data are device_put with the parallel.sharding specs (gene leaves
+    sharded, scalars replicated; chain axis sharded iff the mesh names one).
+    Compiled runners are cached per (log-density fn, static config) exactly
+    like the flat runner.
+
+    Returns an HMCResult whose `draws` is a stacked pytree with
+    [chains, num_draws, ...] leaves.
+    """
+    from ppcseq_tpu.model.params import tree_axpy, tree_normal_like, tree_ones_like
+
+    proto = jax.tree.map(lambda x: jnp.asarray(x, dtype), prototype)
+    L_min = max(1, int(np.ceil(jitter_low * num_leapfrog)))
+
+    cache_key = (
+        "tree", log_density, data is not None, num_chains, num_warmup,
+        num_draws, int(num_leapfrog), L_min, float(target_accept),
+        jnp.dtype(dtype).name, mesh,
+    )
+    runner = _RUNNER_CACHE.get(cache_key)
+    if runner is None:
+        runner = _build_tree_runner(
+            log_density, data is not None, num_chains, num_warmup,
+            num_draws, int(num_leapfrog), L_min, float(target_accept), dtype,
+        )
+        _RUNNER_CACHE[cache_key] = runner
+
+    if inv_mass is None:
+        inv_mass = tree_ones_like(proto)
+    inv_mass = jax.tree.map(lambda x: jnp.asarray(x, dtype), inv_mass)
+
+    key, k_init = jax.random.split(key)
+    init_keys = jax.random.split(k_init, num_chains)
+    if init_theta is None:
+        base = proto
+    else:
+        base = jax.tree.map(lambda x: jnp.asarray(x, dtype), init_theta)
+    z0 = jax.vmap(lambda k: tree_axpy(init_jitter, tree_normal_like(k, base), base))(
+        init_keys
+    )
+
+    if mesh is not None:
+        if dims is None:
+            raise ValueError("run_hmc_tree(mesh=...) requires dims=")
+        from ppcseq_tpu.parallel.sharding import (
+            param_shardings,
+            shard_data,
+            shard_params,
+        )
+
+        chain_ax = "chains" if "chains" in mesh.axis_names else True
+        state_sh = param_shardings(mesh, dims, chain_axis=chain_ax)
+        z0 = {k: jax.device_put(v, state_sh[k]) for k, v in z0.items()}
+        inv_mass = shard_params(inv_mass, mesh, dims)
+        if data is not None:
+            data = shard_data(data, mesh)
+
+    mu = jnp.asarray(np.log(10.0 * step_size0), dtype)
+    draws, accept, div, eps = runner(data, z0, inv_mass, mu, key)
+    total_lf = (num_warmup + num_draws) * num_leapfrog * num_chains
+    return HMCResult(
+        draws=draws,
+        accept_prob=np.asarray(accept),
+        divergences=np.asarray(np.asarray(div).sum(axis=1)),
+        step_size=float(eps),
+        num_leapfrog=total_lf,
+    )

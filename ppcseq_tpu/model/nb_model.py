@@ -484,6 +484,32 @@ def flat_logp(dims: ModelDims, likelihood: str = "auto"):
 
 
 @functools.lru_cache(maxsize=64)
+def _tree_logp_cached(dims: ModelDims, likelihood: str):
+    if likelihood == "pallas":
+        from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
+
+        lfn = make_pallas_likelihood(gene_tile=2048)
+    else:
+        lfn = None
+
+    def f(tree, data):
+        return log_joint_tree(tree, data, dims, likelihood_fn=lfn)
+
+    return f
+
+
+def tree_logp(dims: ModelDims, likelihood: str = "auto"):
+    """Pytree-state counterpart of flat_logp: `f(tree, data) -> scalar` with
+    stable function identity per (dims, likelihood), so tree-state samplers
+    (run_hmc_tree, run_nuts over pytrees) reuse compiled runners across fits.
+    """
+    if likelihood == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        likelihood = "pallas" if (on_tpu and dims.G >= PALLAS_GENE_THRESHOLD) else "plain"
+    return _tree_logp_cached(dims, likelihood)
+
+
+@functools.lru_cache(maxsize=64)
 def _extract_flat_jit(dims: ModelDims):
     def one(th, data):
         params, _ = unpack(th, dims)

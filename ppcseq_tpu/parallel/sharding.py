@@ -61,14 +61,21 @@ def data_shardings(mesh: Mesh, chain_axis: bool = False):
     )
 
 
-def param_shardings(mesh: Mesh, dims: nb_model.ModelDims, chain_axis: bool = False) -> dict:
+def param_shardings(mesh: Mesh, dims: nb_model.ModelDims, chain_axis=False) -> dict:
     """Shardings for the unconstrained parameter pytree.
 
     Per-gene leaves shard over `genes`; scalars and the (small) checked-gene
-    coefficient blocks replicate. With chain_axis=True, specs gain a leading
-    replicated chain dimension (for [chains, ...] stacked states).
+    coefficient blocks replicate. chain_axis controls the leading dimension
+    of stacked [chains, ...] states: False = no leading dim, True = leading
+    replicated dim, or a mesh-axis name (e.g. "chains") to shard the chain
+    batch too (2-D chain x gene parallelism).
     """
-    lead = (None,) if chain_axis else ()
+    if chain_axis is False:
+        lead = ()
+    elif chain_axis is True:
+        lead = (None,)
+    else:
+        lead = (chain_axis,)
     tree = {name: NamedSharding(mesh, P(*lead)) for name in SCALAR_NAMES}
     for name in GENE_NAMES:
         tree[name] = NamedSharding(mesh, P(*lead, "genes"))
@@ -90,6 +97,6 @@ def shard_data(data: nb_model.ModelData, mesh: Mesh) -> nb_model.ModelData:
     return nb_model.ModelData(**kwargs)
 
 
-def shard_params(tree: dict, mesh: Mesh, dims: nb_model.ModelDims, chain_axis: bool = False) -> dict:
+def shard_params(tree: dict, mesh: Mesh, dims: nb_model.ModelDims, chain_axis=False) -> dict:
     sh = param_shardings(mesh, dims, chain_axis=chain_axis)
     return {k: jax.device_put(v, sh[k]) for k, v in tree.items()}

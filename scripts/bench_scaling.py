@@ -1,18 +1,26 @@
-"""Gene-sharding scaling harness: draws/sec at 1..N devices.
+"""Sharding scaling harness: gene-axis and chain-axis efficiency at 1..N devices.
 
-Runs vectorized-chain NUTS on a synthetic cohort with the gene axis sharded
-over a 1-D mesh of K devices, for K in {1, N}, and reports throughput and
-scaling efficiency. On real multi-chip hardware this measures ICI scaling;
-on a virtual CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=N)
-it validates the sharded program end-to-end and reports the (meaningless for
-perf, useful for CI) relative numbers.
+Measures the two parallel axes of the framework (the map_rect/MPI analog of
+stan:226-240 and the chain-per-process analog of R/utilities.R:1497-1502):
 
-Usage: python scripts/bench_scaling.py [n_genes] [n_samples] [chains]
-       python scripts/bench_scaling.py --hmc [n_genes] [n_samples] [chains]
+- gene-sharded: tree-state jittered HMC (infer.hmc.run_hmc_tree) with the
+  per-gene parameter/data leaves sharded over a 1-D `genes` mesh. Strong
+  scaling: fixed G, K devices, leapfrogs/sec should grow ~K-fold.
+- chain-sharded: flat jittered HMC (infer.hmc.run_hmc) with the chain batch
+  sharded over a 1-D `chains` mesh. Embarrassingly parallel.
 
---hmc measures the flagship chain-sharded jittered-HMC path instead of
-gene-sharded NUTS (chains split across devices; compiles fast enough for
-virtual-CPU-mesh validation, which the gene-sharded NUTS program does not).
+On real multi-chip hardware this measures ICI scaling; on a virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu) it
+validates both sharded programs end-to-end and records relative efficiency
+(CPU "devices" are host threads sharing cores, so virtual-mesh efficiency is
+a lower bound, not a perf claim).
+
+Usage:
+    python scripts/bench_scaling.py                    # both axes, default sizes
+    python scripts/bench_scaling.py --genes [G S ch]   # gene axis only
+    python scripts/bench_scaling.py --hmc   [G S ch]   # chain axis only
+    python scripts/bench_scaling.py --nuts  [G S ch]   # gene-sharded NUTS (slow compile)
+    python scripts/bench_scaling.py --json OUT.json    # both axes -> JSON file
 """
 
 from __future__ import annotations
@@ -33,7 +41,68 @@ if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def run(n_genes=4096, n_samples=50, chains=8, warmup=50, draws=50):
+def run_gene_sharded(n_genes=4096, n_samples=50, chains=8, warmup=40, draws=60):
+    """Gene-sharded tree-state jittered HMC at K in {1, N} devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from ppcseq_tpu.infer.hmc import run_hmc_tree
+    from ppcseq_tpu.model import nb_model
+    from ppcseq_tpu.model.params import zeros_tree
+    from ppcseq_tpu.parallel.sharding import gene_mesh, pad_genes
+    from ppcseq_tpu.utils.synthetic import synthetic_cohort
+
+    counts, X, exposure, _ = synthetic_cohort(n_genes, n_samples, n_check=64, seed=0)
+    n_devices = len(jax.devices())
+    results = {}
+    for k in sorted({1, n_devices}):
+        mesh = gene_mesh(k)
+        G_pad = pad_genes(n_genes, mesh)
+        data, dims = nb_model.prepare_data(
+            counts, X, exposure, 64, pad_genes_to=G_pad, dtype=jnp.float32
+        )
+        logp = nb_model.tree_logp(dims, likelihood="plain")
+        init = nb_model.smart_init(data, dims, as_tree=True)
+
+        kw = dict(
+            num_chains=chains, num_warmup=warmup, num_draws=draws,
+            num_leapfrog=16, init_theta=init, mesh=mesh, dims=dims,
+        )
+        t0 = time.time()
+        r = run_hmc_tree(logp, zeros_tree(dims), jax.random.PRNGKey(1), data=data, **kw)
+        compile_s = time.time() - t0
+        t0 = time.time()
+        r = run_hmc_tree(logp, zeros_tree(dims), jax.random.PRNGKey(2), data=data, **kw)
+        dt = time.time() - t0
+        results[k] = {
+            "axis": "genes",
+            "devices": k,
+            "G": G_pad,
+            "compile_s": round(compile_s, 1),
+            "elapsed_s": round(dt, 2),
+            "draws_per_sec": round(chains * draws / dt, 2),
+            "leapfrogs_per_sec": round(r.num_leapfrog / dt, 1),
+            "accept": round(float(r.accept_prob.mean()), 3),
+        }
+        print(json.dumps(results[k]), flush=True)
+
+    out = {"runs": list(results.values())}
+    if len(results) > 1:
+        base = results[1]["leapfrogs_per_sec"]
+        top = results[n_devices]["leapfrogs_per_sec"]
+        out["efficiency"] = {
+            "metric": "gene_sharding_scaling_efficiency",
+            "value": round(top / (base * n_devices), 3),
+            "unit": f"x{n_devices}_devices",
+        }
+        print(json.dumps(out["efficiency"]), flush=True)
+    return out
+
+
+def run_gene_sharded_nuts(n_genes=4096, n_samples=50, chains=8, warmup=50, draws=50):
+    """Gene-sharded NUTS (robustness path). Compile is while_loop-heavy: use
+    small max_depth on virtual meshes; the HMC harness above is the
+    measurable-at-scale mode."""
     import jax
     import jax.numpy as jnp
 
@@ -81,13 +150,13 @@ def run(n_genes=4096, n_samples=50, chains=8, warmup=50, draws=50):
         top = results[n_devices]["leapfrogs_per_sec"]
         eff = top / (base * n_devices)
         print(json.dumps({
-            "metric": "gene_sharding_scaling_efficiency",
+            "metric": "gene_sharding_nuts_scaling_efficiency",
             "value": round(eff, 3),
             "unit": f"x{n_devices}_devices",
         }))
 
 
-def run_hmc_scaling(n_genes=2048, n_samples=50, chains=64, warmup=40, draws=60):
+def run_chain_sharded(n_genes=2048, n_samples=50, chains=64, warmup=40, draws=60):
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -114,6 +183,7 @@ def run_hmc_scaling(n_genes=2048, n_samples=50, chains=64, warmup=40, draws=60):
         r = run_hmc(logp, dims.dim, jax.random.PRNGKey(2), data=data, **kw)
         dt = time.time() - t0
         results[k] = {
+            "axis": "chains",
             "devices": k,
             "elapsed_s": round(dt, 2),
             "draws_per_sec": round(chains * draws / dt, 2),
@@ -122,19 +192,42 @@ def run_hmc_scaling(n_genes=2048, n_samples=50, chains=64, warmup=40, draws=60):
         }
         print(json.dumps(results[k]), flush=True)
 
+    out = {"runs": list(results.values())}
     if len(results) > 1:
         base = results[1]["leapfrogs_per_sec"]
         top = results[n_devices]["leapfrogs_per_sec"]
-        print(json.dumps({
+        out["efficiency"] = {
             "metric": "chain_sharding_scaling_efficiency",
             "value": round(top / (base * n_devices), 3),
             "unit": f"x{n_devices}_devices",
-        }))
+        }
+        print(json.dumps(out["efficiency"]), flush=True)
+    return out
 
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     if argv and argv[0] == "--hmc":
-        run_hmc_scaling(*[int(a) for a in argv[1:]])
+        run_chain_sharded(*[int(a) for a in argv[1:]])
+    elif argv and argv[0] == "--nuts":
+        run_gene_sharded_nuts(*[int(a) for a in argv[1:]])
+    elif argv and argv[0] == "--genes":
+        run_gene_sharded(*[int(a) for a in argv[1:]])
     else:
-        run(*[int(a) for a in argv])
+        import jax
+
+        combined = {
+            "n_devices": len(jax.devices()),
+            "platform": jax.default_backend(),
+            "gene_axis": run_gene_sharded(*[int(a) for a in argv]),
+            "chain_axis": run_chain_sharded(),
+        }
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(combined, f, indent=1)
+            print(f"wrote {json_out}")

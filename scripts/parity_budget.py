@@ -1,0 +1,171 @@
+"""CI-edge sensitivity budget for the README-run parity deviation (CCNA1/MMP8).
+
+Runs the README 15-gene configuration once, keeps the pass-2 posterior draws
+of lambda_log_param / sigma, and for every checked (sample, gene) cell
+computes the posterior-predictive tail probability of the observed count and
+the data-layer perturbation required to FLIP its outlier call:
+
+- `tail_prob`: P(X >= count) (upper tail) or P(X <= count) (lower tail)
+  under the pass-2 posterior predictive (sigma scaled by the
+  truncation_compensation, exactly as generated quantities are, stan:259-266)
+- `threshold`: adj_prob_theshold_2 / 2 — the call fires when tail_prob
+  crosses this
+- `d_exposure_to_flip`: the additive shift of the sample's exposure_rate
+  (equivalently log-multiplier drift of the TMM layer) that moves tail_prob
+  onto the threshold — if |d| is ~1e-2, plausible data-layer drift flips the
+  call (knife edge); if |d| is ~0.3, the posterior itself disagrees
+- `d_logphi_to_flip`: same for the gene's log overdispersion (posterior-width
+  analog: VB under-dispersion vs exact MCMC)
+
+Writes PARITY_BUDGET.json. Run on the TPU by default, --cpu for local.
+
+    python scripts/parity_budget.py [--cpu] [--mcmc|--nuts] [--seed 42]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GENES_OF_INTEREST = ("CYP1A1", "LYZ", "CCNA1", "MMP8")
+
+
+def _tail_probs(count, lam, phi, d_expo=0.0, d_logphi=0.0):
+    """Posterior-predictive tail probabilities of `count` for one cell.
+
+    lam: [n] draws of lambda_log_param + exposure; phi: [n] draws of the
+    truncation-compensated NB2 size. Returns (P(X<=c), P(X>=c)).
+    """
+    from scipy.stats import nbinom
+
+    mu = np.exp(lam + d_expo)
+    size = phi * np.exp(d_logphi)
+    p = size / (size + mu)
+    lo = nbinom.cdf(count, size, p).mean()
+    hi = (1.0 - nbinom.cdf(count - 1, size, p).mean()) if count > 0 else 1.0
+    return float(lo), float(hi)
+
+
+def _flip_delta(count, lam, phi, thr, side, which):
+    """Bisection for the perturbation that puts the tail prob ON thr."""
+
+    def tail(d):
+        de = d if which == "expo" else 0.0
+        dp = d if which == "logphi" else 0.0
+        lo, hi = _tail_probs(count, lam, phi, de, dp)
+        return lo if side == "lower" else hi
+
+    base = tail(0.0)
+    # find a bracketing interval in the direction that moves toward thr
+    a, b = 0.0, 0.0
+    for step in (0.01, 0.03, 0.1, 0.3, 1.0, 3.0):
+        for s in (+step, -step):
+            if (tail(s) - thr) * (base - thr) < 0:
+                a, b = 0.0, s
+                break
+        if b != 0.0:
+            break
+    if b == 0.0:
+        return None  # no flip within +-3 units — unambiguous call
+    for _ in range(40):
+        m = 0.5 * (a + b)
+        if (tail(m) - thr) * (tail(a) - thr) <= 0:
+            b = m
+        else:
+            a = m
+    return round(0.5 * (a + b), 5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mcmc", action="store_true")
+    ap.add_argument("--nuts", action="store_true")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default="PARITY_BUDGET.json")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ppcseq_tpu import identify_outliers, load_counts
+    from ppcseq_tpu.utils.constants import TRUNCATION_COMPENSATION_PASS2
+
+    counts = load_counts()
+    counts = counts.assign(is_significant=counts.FDR < 0.01)
+    method = "nuts" if args.nuts else ("hmc" if args.mcmc else "vb")
+
+    res = identify_outliers(
+        counts,
+        formula="~ Label",
+        sample="sample",
+        transcript="symbol",
+        abundance="value",
+        significance="PValue",
+        do_check="is_significant",
+        percent_false_positive_genes=5,
+        seed=args.seed,
+        approximate_posterior_inference=method == "vb",
+        mcmc_sampler=method if method != "vb" else "hmc",
+        additional_parameters_to_save=("lambda_log_param", "sigma"),
+    )
+
+    S = counts["sample"].nunique()
+    thr2 = 5 / 100 / S * 2  # pFP=5, detrimental-only (R/methods.R:156-160)
+    thr_half = thr2 / 2
+
+    lam_draws = res.attrs["additional_parameters"]["lambda_log_param"]  # [n, S, K]
+    sigma_draws = res.attrs["additional_parameters"]["sigma"]  # [n, G] (constrained)
+
+    report = {"method": method, "seed": args.seed, "adj_prob_theshold_2": thr2, "cells": []}
+    for _, row in res.iterrows():
+        sym = row["symbol"]
+        swd = row["sample_wise_data"]
+        for _, cell in swd.iterrows():
+            s, g = int(cell["S"]), int(cell["G"])
+            c = int(cell["value"])
+            lam = lam_draws[:, s, g] + cell["exposure_rate"]
+            phi = sigma_draws[:, g] * TRUNCATION_COMPENSATION_PASS2
+            lo_p, hi_p = _tail_probs(c, lam, phi)
+            outlier_low = c < cell[".lower"]
+            outlier_high = c > cell[".upper"]
+            interesting = (
+                sym in GENES_OF_INTEREST and (outlier_low or outlier_high)
+            ) or (not cell["posterior_predictive_check_succeded"])
+            if not interesting:
+                continue
+            side = "lower" if outlier_low else "upper"
+            tail = lo_p if side == "lower" else hi_p
+            entry = {
+                "symbol": sym,
+                "sample": cell[res.attrs["sample_column"]],
+                "S": s,
+                "count": c,
+                "ci": [float(cell[".lower"]), float(cell[".upper"])],
+                "side": side,
+                "tail_prob": round(tail, 6),
+                "threshold": round(thr_half, 6),
+                "margin_ratio": round(tail / thr_half, 3),
+                "deleterious": bool(cell.get("deleterious_outliers", False)),
+                "d_exposure_to_flip": _flip_delta(c, lam, phi, thr_half, side, "expo"),
+                "d_logphi_to_flip": _flip_delta(c, lam, phi, thr_half, side, "logphi"),
+            }
+            report["cells"].append(entry)
+            print(json.dumps(entry), flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

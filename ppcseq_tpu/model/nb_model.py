@@ -376,7 +376,7 @@ def with_baseline(data: ModelData, dims: ModelDims) -> ModelData:
 
     theta0 = smart_init(data, dims)
     tree0 = theta_to_tree(jnp.asarray(theta0), dims)
-    params0, _ = unpack_tree(tree0)
+    params0, _ = unpack_tree(tree0, dims.non_centered)
     alpha0 = np.asarray(make_alpha(params0, dims), dtype=np.float64)
     sigma_raw0 = np.asarray(params0["sigma_raw"], dtype=np.float64)
     X = np.asarray(data.X, dtype=np.float64)
@@ -409,26 +409,69 @@ def delta_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
     term is relative-accurate in float32 and varies smoothly, so NUTS energy
     differences stay clean even with counts ~1e5. part1 (the log-binomial
     part of ops.nb.nb2_log_lpmf_stable) is already smooth and reused as-is.
+
+    The increment identity reconstructs softplus(d) by cancellation against
+    the baseline, so its relative error is amplified by softplus(d0)/softplus(d)
+    <= e^{-dlo}: it is only accurate for dlo >= -2 (positive dlo is safe —
+    the increment only grows the baseline). Farther excursions switch
+    per-element to the direct stable evaluation, and below d = -18 the
+    Poisson-limit log-space form exp(log_phi + d) = mu (relative error
+    < e^-18/2), which stays accurate even when phi alone would overflow.
+    Without the hybrid, phi*sp_d (phi reaches e^70 in the steep
+    overdispersion-trend corner of the prior) explodes into a spurious
+    -1e20 wall that repels samplers from the high-precision region — caught
+    by the SBC calibration suite (tests/test_calibration.py). Smoothness
+    only matters near the posterior mode (= the baseline), so the hybrid
+    keeps the f32 fine-granularity exactly where NUTS needs it.
     """
-    from ppcseq_tpu.ops.nb import expm1_precise, log1p_precise, nb2_part1
+    from ppcseq_tpu.ops.nb import _softplus, expm1_precise, log1p_precise, nb2_part1
 
     delta_alpha = alpha - data.alpha0
     delta_eta = jnp.dot(
         data.X, delta_alpha, preferred_element_type=data.X.dtype, precision="highest"
     )
+    # evaluate as NB with phi capped at e^80 — keeps phi finite in float32
+    # at the prior's extreme-precision corner; the lpmf difference from the
+    # cap is O(y^2*e^-80), far below either precision. The cap must be
+    # consistent across every phi-dependent term (part1 is ~y*log_phi-sized
+    # and d enters exp(log_phi + d), so any mixed capped/uncapped use skews
+    # the density).
+    log_phi_c = jnp.minimum(log_phi, 80.0)
     # d = d0 + dlo;  dlo = delta_eta - delta_log_phi
-    delta_log_phi = log_phi + data.sigma_raw0  # log_phi - log_phi0
-    dlo = jnp.clip(delta_eta - delta_log_phi[None, :], -60.0, 60.0)
+    delta_log_phi = log_phi_c + data.sigma_raw0  # log_phi - log_phi0
+    dlo = delta_eta - delta_log_phi[None, :]
+    d_full = data.d0 + dlo
 
     y = data.counts.astype(dlo.dtype)
-    phi = jnp.exp(log_phi)[None, :]
+    phi = jnp.exp(log_phi_c)[None, :]
+    log_phi_b = jnp.broadcast_to(log_phi_c[None, :], dlo.shape)
     sig_d0 = 1.0 - data.sig_neg_d0
-    # softplus(d) and softplus(-d) as exact increments from the baseline
-    sp_d = data.sp_d0 + log1p_precise(sig_d0 * expm1_precise(dlo))
-    inc_neg = log1p_precise(data.sig_neg_d0 * expm1_precise(-dlo))
 
-    part1 = nb2_part1(y, jnp.broadcast_to(phi, dlo.shape), jnp.broadcast_to(log_phi[None, :], dlo.shape))
-    pts = part1 - phi * sp_d - y * inc_neg - data.y_sp0
+    # --- near-baseline branch (delta increments; clip keeps the unselected
+    # branch finite so jnp.where gradients stay clean) ---------------------
+    dlo_m = jnp.clip(dlo, -2.0, 8.0)
+    sp_d_mid = data.sp_d0 + log1p_precise(sig_d0 * expm1_precise(dlo_m))
+    inc_neg_mid = log1p_precise(data.sig_neg_d0 * expm1_precise(-dlo_m))
+    phi_sp_mid = phi * sp_d_mid
+
+    # --- far branch (direct stable evaluation; _softplus is finite for any
+    # argument, so d itself needs no clipping) -----------------------------
+    spn0 = data.sp_d0 - data.d0  # softplus(-d0), from stored constants
+    phi_sp_far = jnp.where(
+        d_full < -25.0,
+        # Poisson limit: phi*softplus(d) -> exp(log_phi + d) = mu, relative
+        # error < e^-25/2; log-space stays accurate past phi's f32 range
+        jnp.exp(jnp.clip(log_phi_b + d_full, -60.0, 60.0)),
+        phi * _softplus(d_full),
+    )
+    inc_neg_far = _softplus(-d_full) - spn0
+
+    mid = (dlo > -2.0) & (dlo < 8.0)
+    phi_sp = jnp.where(mid, phi_sp_mid, phi_sp_far)
+    inc_neg = jnp.where(mid, inc_neg_mid, inc_neg_far)
+
+    part1 = nb2_part1(y, jnp.broadcast_to(phi, dlo.shape), log_phi_b)
+    pts = part1 - phi_sp - y * inc_neg - data.y_sp0
     return jnp.sum(data.like_mask * pts)
 
 

@@ -65,6 +65,10 @@ def nb2_log_lpmf_stable(y, eta, log_phi):
     """
     dtype = eta.dtype
     yf = y.astype(dtype) if jnp.issubdtype(y.dtype, jnp.integer) else y
+    # evaluate as NB with phi capped at e^80: keeps phi finite in float32 at
+    # extreme precisions (the NB is within O(y^2*e^-80) of its Poisson limit
+    # there, far below either float's resolution)
+    log_phi = jnp.minimum(log_phi, 80.0)
     phi = jnp.exp(log_phi)
     # Never form L = logaddexp(eta, log_phi) at its own magnitude: the small
     # quantities (eta - L) and (log_phi - L) are computed directly via
@@ -125,14 +129,16 @@ def log1p_precise(u):
 
     TPU's native log1p is a coarse approximation (~2.6e-4 relative error vs
     ~1e-7 on CPU) — fatal when the result is multiplied by counts ~1e4. For
-    |u| < 0.5 use log1p(u) = 2*atanh(u/(2+u)) with an odd polynomial (exact
-    to f32 for |z| <= 0.2); outside, plain log(1+u) has its argument far
-    from 1 where TPU log is accurate.
+    -1/3 < u < 1/2 use log1p(u) = 2*atanh(u/(2+u)) with an odd polynomial
+    (exact to f32 for |z| <= 0.2; the asymmetric u-bounds map to |z| <= 0.2
+    on BOTH sides — a symmetric |u| < 0.5 cut would let z reach -1/3 where
+    the truncated series is only ~6e-7 accurate); outside, plain log(1+u)
+    has its argument far from 1 where TPU log is accurate.
     """
     z = u / (2.0 + u)
     z2 = z * z
     small = 2.0 * z * (1.0 + z2 * (1.0 / 3.0 + z2 * (1.0 / 5.0 + z2 * (1.0 / 7.0 + z2 / 9.0))))
-    return jnp.where(jnp.abs(u) < 0.5, small, jnp.log(1.0 + u))
+    return jnp.where((u > -1.0 / 3.0) & (u < 0.5), small, jnp.log(1.0 + u))
 
 
 def expm1_precise(x):

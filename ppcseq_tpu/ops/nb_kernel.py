@@ -83,7 +83,9 @@ def _bwd_kernel(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, da
         + expo_ref[:, :]
     )
     y = counts_ref[:, :].astype(eta.dtype)
-    log_phi = logphi_ref[:, :]
+    # same phi cap as the forward's nb2_log_lpmf_stable: the capped model's
+    # gradient wrt log_phi vanishes beyond the cap
+    log_phi = jnp.minimum(logphi_ref[:, :], 80.0)
     phi = jnp.exp(log_phi)
     # p = mu/(mu+phi), q = phi/(mu+phi) via sigmoid (no logaddexp cancellation)
     d = eta - log_phi
@@ -93,11 +95,13 @@ def _bwd_kernel(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref, da
 
     mask = mask_ref[:, :]
     deta = mask * (y - (y + phi) * p)
-    dg_phi_row = _digamma_pos(jnp.exp(logphi_ref[:, :]))  # [1, T], broadcast below
+    dg_phi_row = _digamma_pos(phi)  # [1, T], broadcast below
     # log_phi + 1 - logaddexp(eta, log_phi) == 1 - softplus(d)
-    dlogphi_elem = mask * (
+    dlogphi_elem = mask * jnp.where(
+        logphi_ref[:, :] < 80.0,
         phi * (_digamma_pos(y + phi) - dg_phi_row + 1.0 - softplus_d)
-        - (y + phi) * q
+        - (y + phi) * q,
+        0.0,
     )
     dalpha_ref[:, :] = jnp.dot(x_ref[:, :].T, deta, preferred_element_type=jnp.float32, precision="highest")
     dlogphi_ref[:, :] = jnp.sum(dlogphi_elem, axis=0, keepdims=True)

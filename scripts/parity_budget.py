@@ -127,6 +127,7 @@ def main():
     sigma_draws = res.attrs["additional_parameters"]["sigma"]  # [n, G] (constrained)
 
     report = {"method": method, "seed": args.seed, "adj_prob_theshold_2": thr2, "cells": []}
+    candidates = []  # (is_goi, symbol, closeness) -> entry
     for _, row in res.iterrows():
         sym = row["symbol"]
         swd = row["sample_wise_data"]
@@ -138,12 +139,14 @@ def main():
             lo_p, hi_p = _tail_probs(c, lam, phi)
             outlier_low = c < cell[".lower"]
             outlier_high = c > cell[".upper"]
-            interesting = (
-                sym in GENES_OF_INTEREST and (outlier_low or outlier_high)
-            ) or (not cell["posterior_predictive_check_succeded"])
-            if not interesting:
+            flagged = (
+                outlier_low or outlier_high
+                or not cell["posterior_predictive_check_succeded"]
+            )
+            if not (flagged or sym in GENES_OF_INTEREST):
                 continue
-            side = "lower" if outlier_low else "upper"
+            # report the more extreme tail for un-flagged cells
+            side = "lower" if (outlier_low or (not flagged and lo_p < hi_p)) else "upper"
             tail = lo_p if side == "lower" else hi_p
             entry = {
                 "symbol": sym,
@@ -152,15 +155,35 @@ def main():
                 "count": c,
                 "ci": [float(cell[".lower"]), float(cell[".upper"])],
                 "side": side,
+                "flagged": bool(flagged),
                 "tail_prob": round(tail, 6),
                 "threshold": round(thr_half, 6),
                 "margin_ratio": round(tail / thr_half, 3),
                 "deleterious": bool(cell.get("deleterious_outliers", False)),
-                "d_exposure_to_flip": _flip_delta(c, lam, phi, thr_half, side, "expo"),
-                "d_logphi_to_flip": _flip_delta(c, lam, phi, thr_half, side, "logphi"),
             }
-            report["cells"].append(entry)
-            print(json.dumps(entry), flush=True)
+            candidates.append((flagged, sym, tail, lam, phi, side, c, entry))
+
+    # keep all flagged cells + per gene-of-interest its most extreme cell,
+    # so knife-edge genes show their distance even on seeds that don't call
+    # them
+    seen_goi = {}
+    for flagged, sym, tail, lam, phi, side, c, entry in candidates:
+        if not flagged and sym in GENES_OF_INTEREST:
+            best = seen_goi.get(sym)
+            if best is None or tail > best[2]:
+                seen_goi[sym] = (sym, entry, tail, lam, phi, side, c)
+    called_syms = {e[1] for e in candidates if e[0]}
+    keep = [e for e in candidates if e[0]]
+    keep += [
+        (False, sym, tail, lam, phi, side, c, entry)
+        for sym, entry, tail, lam, phi, side, c in seen_goi.values()
+        if sym not in called_syms
+    ]
+    for flagged, sym, tail, lam, phi, side, c, entry in keep:
+        entry["d_exposure_to_flip"] = _flip_delta(c, lam, phi, thr_half, side, "expo")
+        entry["d_logphi_to_flip"] = _flip_delta(c, lam, phi, thr_half, side, "logphi")
+        report["cells"].append(entry)
+        print(json.dumps(entry), flush=True)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

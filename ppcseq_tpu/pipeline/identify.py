@@ -559,6 +559,16 @@ def identify_outliers(
         sample_colname=sample,
     )
     result.attrs["total_draws"] = res_test.total_draws
+    # provenance: which (sample, gene) cells pass 1 excluded from the pass-2
+    # likelihood (the reference computes but does not expose this set,
+    # R/methods.R:292-300); exposed here because the two-pass procedure
+    # amplifies pass-1 flags — an excluded point lowers the refit mean,
+    # making the pass-2 call near-certain (docs/PARITY.md)
+    excl = to_exclude.merge(
+        res_discovery.table[["S", "G", transcript, sample]].drop_duplicates(),
+        on=["S", "G"], how="left",
+    )
+    result.attrs["pass1_excluded"] = excl.reset_index(drop=True)
     result.attrs["transcript_column"] = transcript
     result.attrs["abundance_column"] = abundance
     result.attrs["sample_column"] = sample

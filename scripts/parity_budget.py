@@ -8,8 +8,10 @@ the data-layer perturbation required to FLIP its outlier call:
 - `tail_prob`: P(X >= count) (upper tail) or P(X <= count) (lower tail)
   under the pass-2 posterior predictive (sigma scaled by the
   truncation_compensation, exactly as generated quantities are, stan:259-266)
-- `threshold`: adj_prob_theshold_2 / 2 — the call fires when tail_prob
-  crosses this
+- `threshold`: adj_prob_theshold_2 — the CI quantiles are at
+  (thr2, 1 - thr2) (reference fit_to_counts_rng, R/utilities.R:691;
+  approximated path R/utilities.R:771), so the call fires when the
+  marginal tail probability crosses thr2 itself
 - `d_exposure_to_flip`: the additive shift of the sample's exposure_rate
   (equivalently log-multiplier drift of the TMM layer) that moves tail_prob
   onto the threshold — if |d| is ~1e-2, plausible data-layer drift flips the

@@ -123,7 +123,6 @@ def main():
 
     S = counts["sample"].nunique()
     thr2 = 5 / 100 / S * 2  # pFP=5, detrimental-only (R/methods.R:156-160)
-    thr_half = thr2 / 2
 
     lam_draws = res.attrs["additional_parameters"]["lambda_log_param"]  # [n, S, K]
     sigma_draws = res.attrs["additional_parameters"]["sigma"]  # [n, G] (constrained)
@@ -150,6 +149,23 @@ def main():
             # report the more extreme tail for un-flagged cells
             side = "lower" if (outlier_low or (not flagged and lo_p < hi_p)) else "upper"
             tail = lo_p if side == "lower" else hi_p
+            # The CI bound is an EMPIRICAL type-7 quantile of n_draws
+            # simulated counts (n_draws = draws_after_tail/thr2 = 2100 here):
+            # the order statistic x_(floor(h)) with h = (n-1)(1-thr)+1, i.e.
+            # ~10 draws sit beyond it. The upper call fires iff
+            # count > x_(floor(h)), which holds iff K = #{draws >= count} <=
+            # n - floor(h) (~10); K ~ Binomial(n_draws, tail_prob). Smaller
+            # tail_prob => deeper in the tail => stronger call; p_call = 0.5
+            # at tail_prob ~= thr. (Lower-side calls mirror with the lower
+            # tail.) This predicted per-fit flip probability is directly
+            # comparable to the measured per-seed call frequency
+            # (PARITY_SEEDS_*.json / PARITY_AMPLIFICATION_*), modulo the
+            # per-seed variation of tail_prob itself under VB.
+            from scipy.stats import binom
+
+            n_draws = max(int(round(10 / thr2)), 1000)
+            k_cut = n_draws - int(np.floor((n_draws - 1) * (1.0 - thr2) + 1.0))
+            p_call = float(binom.cdf(k_cut, n_draws, tail))
             entry = {
                 "symbol": sym,
                 "sample": cell[res.attrs["sample_column"]],
@@ -159,8 +175,9 @@ def main():
                 "side": side,
                 "flagged": bool(flagged),
                 "tail_prob": round(tail, 6),
-                "threshold": round(thr_half, 6),
-                "margin_ratio": round(tail / thr_half, 3),
+                "threshold": round(thr2, 6),
+                "margin_ratio": round(tail / thr2, 3),
+                "p_call_finite_draws": round(p_call, 3),
                 "deleterious": bool(cell.get("deleterious_outliers", False)),
             }
             candidates.append((flagged, sym, tail, lam, phi, side, c, entry))
@@ -182,8 +199,8 @@ def main():
         if sym not in called_syms
     ]
     for flagged, sym, tail, lam, phi, side, c, entry in keep:
-        entry["d_exposure_to_flip"] = _flip_delta(c, lam, phi, thr_half, side, "expo")
-        entry["d_logphi_to_flip"] = _flip_delta(c, lam, phi, thr_half, side, "logphi")
+        entry["d_exposure_to_flip"] = _flip_delta(c, lam, phi, thr2, side, "expo")
+        entry["d_logphi_to_flip"] = _flip_delta(c, lam, phi, thr2, side, "logphi")
         report["cells"].append(entry)
         print(json.dumps(entry), flush=True)
 

@@ -89,10 +89,13 @@ def main():
 
     # Draw budget of the reference's pFP=1% detrimental run:
     # thr2 = 0.01/21*2, draws = 10/thr2 = 10500 (R/methods.R:155-167).
+    # Config picked by the committed sweep (SWEEP_HMC_r3.json): L=48 mixes
+    # ~4x better than L=32 (min-ESS 8000 vs 1200-4400 of 10624 draws, rhat
+    # 1.011 vs 1.03-1.07) at ~20% lower raw draws/s — the best min-ESS/s.
     num_chains = 128
     num_warmup = 60  # ADVI warm start supplies init + mass matrix
     per_chain = 83  # 128 * 83 = 10624 >= 10500
-    num_leapfrog = 32
+    num_leapfrog = 48
     total_draws = num_chains * per_chain
 
     def one_run(seed):

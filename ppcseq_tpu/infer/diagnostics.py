@@ -79,6 +79,7 @@ def ess(x: np.ndarray) -> np.ndarray:
 
 def summarize(draws: np.ndarray, names: list[str] | None = None) -> dict:
     """Per-dimension diagnostics for [chains, draws, D] draws."""
+    draws = np.asarray(draws)  # single host copy if the draws live on device
     rh = split_rhat(draws)
     es = ess(draws)
     out = {

@@ -34,6 +34,7 @@ nb_model.flat_logp(dims)) to benefit across different datasets of one shape.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,7 @@ def _halton_seq(n, base=2):
 
 @dataclass
 class HMCResult:
-    draws: np.ndarray  # [chains, num_draws, D]
+    draws: Any  # [chains, num_draws, D] jax.Array, left on device (np.asarray to copy)
     accept_prob: np.ndarray  # [chains, num_draws]
     divergences: np.ndarray  # [chains] count in sampling phase
     step_size: float
@@ -439,8 +440,12 @@ def run_hmc(
 
     if not adapt_trajectory:
         draws, accept, div, eps, exec_lf = runner(data, z0, inv_mass, mu, key)
+        # draws stay ON DEVICE: the pipeline's PPC simulation and draw
+        # extraction consume them there; forcing a host copy here costs
+        # ~1s of tunnel transfer per fit at bench scale (45 MB @ ~50 MB/s).
+        # np.asarray() at any consumer still works (triggers the transfer).
         return HMCResult(
-            draws=np.asarray(draws),
+            draws=draws,
             accept_prob=np.asarray(accept),
             divergences=np.asarray(np.asarray(div).sum(axis=1)),
             step_size=float(eps),
@@ -482,7 +487,7 @@ def run_hmc(
     )
     total_lf = (int(warm_lf) + int(samp_lf)) * num_chains
     return HMCResult(
-        draws=np.asarray(draws),
+        draws=draws,
         accept_prob=np.asarray(accept),
         divergences=np.asarray(np.asarray(div).sum(axis=1)),
         step_size=eps_f,

@@ -540,9 +540,11 @@ def run_nuts(
     keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(chain_keys)
     draws, accept, div, samp_steps = samp(data, z, lp, g, eps, inv_mass, keys2)
 
+    # draws stay on device (see infer/hmc.py): PPC consumes them there, and
+    # the host copy costs ~1s of tunnel transfer per fit at bench scale.
     is_tree = not isinstance(draws, jnp.ndarray)
     return NUTSResult(
-        draws=draws if is_tree else np.asarray(draws),
+        draws=draws,
         accept_prob=np.asarray(accept),
         divergences=np.asarray(div.sum(axis=1)),
         step_size=np.asarray(eps),

@@ -212,13 +212,14 @@ def do_inference(
         # n_eff/Rhat (R/utilities.R:699) — we surface them instead
         from ppcseq_tpu.infer.diagnostics import summarize as diag_summarize
 
-        draws_cd = np.asarray(res.draws)
-        if draws_cd.ndim == 3 and draws_cd.shape[1] >= 4:
+        # slice the diagnostic block ON DEVICE so only [chains, draws, ~21]
+        # floats cross the host link, not the full [chains, draws, D] stack
+        if getattr(res.draws, "ndim", 0) == 3 and res.draws.shape[1] >= 4:
             sel = np.r_[0:6, 6 + 2 * dims.G : 6 + 2 * dims.G + dims.n_check]
-            d = diag_summarize(draws_cd[:, :, sel])
+            d = diag_summarize(np.asarray(res.draws[:, :, sel]))
             fit_info["rhat_max"] = d["rhat_max"]
             fit_info["ess_min"] = d["ess_min"]
-        thetas = jnp.asarray(res.draws.reshape(-1, dims.dim))
+        thetas = jnp.reshape(res.draws, (-1, dims.dim))
         fit_obj = res
 
     lambda_log_draws, sigma_raw_draws = nb_model.extract_lambda_sigma_draws(thetas, data, dims)

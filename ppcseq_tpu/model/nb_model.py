@@ -475,6 +475,98 @@ def delta_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
     return jnp.sum(data.like_mask * pts)
 
 
+# ---------------------------------------------------------------------------
+# Analytic-VJP likelihood: forward = the same masked likelihood (delta-form
+# when baseline constants are attached, stable decomposition otherwise);
+# backward = the closed-form NB2 gradients of ops.nb_grad instead of autodiff
+# through the forward's branch machinery. Same math, ~1.7x faster leapfrogs
+# on TPU (scripts/profile_grad.py); gradients match float64 autodiff to
+# ~1e-12 (tests/test_nb_grad.py). Exact MCMC is preserved regardless of
+# gradient rounding: leapfrog with ANY deterministic force field is
+# reversible and volume-preserving, and the MH accept uses the forward only.
+
+
+def _analytic_bwd_common(residuals, g):
+    from ppcseq_tpu.ops.nb_grad import likelihood_grads
+
+    X, exposure, counts, mask, alpha, log_phi = residuals
+    dalpha, dlogphi = likelihood_grads(X, exposure, counts, mask, alpha, log_phi)
+    return g * dalpha, g * dlogphi
+
+
+@jax.custom_vjp
+def _analytic_plain(X, exposure, counts, mask, alpha, log_phi):
+    eta = exposure[:, None] + jnp.dot(
+        X, alpha, preferred_element_type=X.dtype, precision="highest"
+    )
+    pts = nb2_log_lpmf_stable(counts, eta, jnp.broadcast_to(log_phi[None, :], eta.shape))
+    return jnp.sum(mask * pts)
+
+
+def _analytic_plain_fwd(X, exposure, counts, mask, alpha, log_phi):
+    out = _analytic_plain(X, exposure, counts, mask, alpha, log_phi)
+    return out, (X, exposure, counts, mask, alpha, log_phi)
+
+
+def _analytic_plain_bwd(residuals, g):
+    dalpha, dlogphi = _analytic_bwd_common(residuals, g)
+    return (None, None, None, None, dalpha, dlogphi)
+
+
+_analytic_plain.defvjp(_analytic_plain_fwd, _analytic_plain_bwd)
+
+
+@jax.custom_vjp
+def _analytic_delta(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    # gene_mask is unused by delta_likelihood; mask[0] only fills the slot
+    data = ModelData(
+        counts=counts, X=X, exposure_rate=exposure, like_mask=mask,
+        gene_mask=mask[0], alpha0=alpha0, sigma_raw0=sigma_raw0, d0=d0,
+        sp_d0=sp_d0, sig_neg_d0=sig_neg_d0, y_sp0=y_sp0,
+    )
+    return delta_likelihood(data, alpha, log_phi)
+
+
+def _analytic_delta_fwd(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    out = _analytic_delta(
+        X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0,
+        y_sp0, alpha, log_phi,
+    )
+    return out, (X, exposure, counts, mask, alpha, log_phi)
+
+
+def _analytic_delta_bwd(residuals, g):
+    dalpha, dlogphi = _analytic_bwd_common(residuals, g)
+    return (None, None, None, None, None, None, None, None, None, None, dalpha, dlogphi)
+
+
+_analytic_delta.defvjp(_analytic_delta_fwd, _analytic_delta_bwd)
+
+
+def analytic_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
+    """masked_likelihood with closed-form gradients (custom VJP).
+
+    Drop-in `likelihood_fn` for log_joint / log_joint_tree: identical forward
+    values (it IS the same forward), analytic backward. Not differentiable
+    twice — the samplers and ADVI only take first derivatives.
+    """
+    if data.d0 is not None:
+        return _analytic_delta(
+            data.X, data.exposure_rate, data.counts, data.like_mask,
+            data.alpha0, data.sigma_raw0, data.d0, data.sp_d0,
+            data.sig_neg_d0, data.y_sp0, alpha, log_phi,
+        )
+    return _analytic_plain(
+        data.X, data.exposure_rate, data.counts, data.like_mask, alpha, log_phi
+    )
+
+
 def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
     """Flat-vector variant of log_joint_tree."""
     return log_joint_tree(theta_to_tree(theta, dims), data, dims, likelihood_fn=likelihood_fn)
@@ -491,14 +583,29 @@ def make_log_density(data: ModelData, dims: ModelDims, likelihood_fn=None, tree:
 PALLAS_GENE_THRESHOLD = 8192
 
 
-@functools.lru_cache(maxsize=64)
-def _flat_logp_cached(dims: ModelDims, likelihood: str):
+def _resolve_likelihood_fn(likelihood: str):
     if likelihood == "pallas":
         from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
 
-        lfn = make_pallas_likelihood(gene_tile=2048)
-    else:
-        lfn = None
+        return make_pallas_likelihood(gene_tile=2048)
+    if likelihood == "analytic":
+        return analytic_likelihood
+    return None
+
+
+def _resolve_auto(likelihood: str, dims: ModelDims) -> str:
+    """'auto' -> fastest measured choice per backend/scale: the analytic-VJP
+    likelihood on TPU (scripts/profile_grad.py: beats both plain autodiff and
+    the Pallas kernel at bench scale AND 50k genes), plain autodiff on CPU
+    (tests run there in float64, where autodiff exactness is the baseline)."""
+    if likelihood != "auto":
+        return likelihood
+    return "analytic" if jax.default_backend() == "tpu" else "plain"
+
+
+@functools.lru_cache(maxsize=64)
+def _flat_logp_cached(dims: ModelDims, likelihood: str):
+    lfn = _resolve_likelihood_fn(likelihood)
 
     def f(theta, data):
         return log_joint(theta, data, dims, likelihood_fn=lfn)
@@ -515,25 +622,17 @@ def flat_logp(dims: ModelDims, likelihood: str = "auto"):
     shape (e.g. the two passes of identify_outliers — pass 2 differs only in
     like_mask and baseline constants).
 
-    likelihood: "plain" (XLA-fused stable lpmf; honors the delta-form
-    baseline when attached), "pallas" (ops/nb_kernel fused kernel), or
-    "auto" — pallas on TPU above PALLAS_GENE_THRESHOLD genes, plain
-    otherwise.
+    likelihood: "plain" (XLA-fused stable lpmf, autodiff backward; honors
+    the delta-form baseline when attached), "analytic" (same forward,
+    closed-form custom-VJP backward — ops/nb_grad), "pallas" (ops/nb_kernel
+    fused kernel), or "auto" (see _resolve_auto).
     """
-    if likelihood == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        likelihood = "pallas" if (on_tpu and dims.G >= PALLAS_GENE_THRESHOLD) else "plain"
-    return _flat_logp_cached(dims, likelihood)
+    return _flat_logp_cached(dims, _resolve_auto(likelihood, dims))
 
 
 @functools.lru_cache(maxsize=64)
 def _tree_logp_cached(dims: ModelDims, likelihood: str):
-    if likelihood == "pallas":
-        from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
-
-        lfn = make_pallas_likelihood(gene_tile=2048)
-    else:
-        lfn = None
+    lfn = _resolve_likelihood_fn(likelihood)
 
     def f(tree, data):
         return log_joint_tree(tree, data, dims, likelihood_fn=lfn)
@@ -546,10 +645,7 @@ def tree_logp(dims: ModelDims, likelihood: str = "auto"):
     stable function identity per (dims, likelihood), so tree-state samplers
     (run_hmc_tree, run_nuts over pytrees) reuse compiled runners across fits.
     """
-    if likelihood == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        likelihood = "pallas" if (on_tpu and dims.G >= PALLAS_GENE_THRESHOLD) else "plain"
-    return _tree_logp_cached(dims, likelihood)
+    return _tree_logp_cached(dims, _resolve_auto(likelihood, dims))
 
 
 @functools.lru_cache(maxsize=64)

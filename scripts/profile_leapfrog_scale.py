@@ -52,6 +52,7 @@ def main():
 
     for name, lf in [
         ("plain", None),
+        ("analytic", nb_model.analytic_likelihood),
         ("pallas", make_pallas_likelihood(gene_tile=2048)),
         ("pallas512", make_pallas_likelihood(gene_tile=512)),
     ]:

@@ -42,7 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--negative-controls", type=int, default=500, dest="how_many_negative_controls")
     p.add_argument("--draws-after-tail", type=int, default=10)
     p.add_argument("--full-posterior", action="store_true",
-                   help="use NUTS MCMC instead of the default ADVI")
+                   help="use MCMC sampling (see --mcmc-sampler; default jittered HMC) "
+                        "instead of the default ADVI variational fit")
+    p.add_argument("--mcmc-sampler", choices=("hmc", "nuts"), default="hmc",
+                   help="sampler for --full-posterior: 'hmc' (jittered-trajectory "
+                        "HMC, 128 vmapped chains — the TPU-native fast path) or "
+                        "'nuts' (dynamic-tree sampler)")
     p.add_argument("--full-ci", action="store_true",
                    help="exact CI extraction instead of the approximated path")
     p.add_argument("--seed", type=int, default=None)
@@ -87,6 +92,7 @@ def main(argv=None) -> int:
         how_many_negative_controls=args.how_many_negative_controls,
         approximate_posterior_inference=not args.full_posterior,
         approximate_posterior_analysis=not args.full_ci,
+        mcmc_sampler=args.mcmc_sampler,
         draws_after_tail=args.draws_after_tail,
         seed=args.seed,
         cores=args.cores,

@@ -487,6 +487,7 @@ def run_nuts(
     init_scale: float = 2.0,
     init_jitter: float = 0.1,
     inv_mass_init=None,
+    mesh=None,
     dtype=jnp.float32,
 ) -> NUTSResult:
     """Run vectorized multi-chain NUTS; returns post-warmup draws.
@@ -522,6 +523,22 @@ def run_nuts(
         if inv_mass_init is not None
         else jax.tree.map(jnp.ones_like, proto)
     )
+
+    if mesh is not None:
+        # chain-sharded NUTS (mesh must name a "chains" axis): the vmapped
+        # chain batch is split across devices, data/mass replicated — the
+        # TPU analog of the reference's chain-per-process parallelism
+        # (R/utilities.R:1497-1502); no cross-device collective is needed
+        # because chains are independent.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        chain_sh = NamedSharding(mesh, P("chains"))
+        rep = NamedSharding(mesh, P())
+        z0 = jax.tree.map(lambda x: jax.device_put(x, chain_sh), z0)
+        chain_keys = jax.device_put(chain_keys, chain_sh)
+        mass0 = jax.tree.map(lambda x: jax.device_put(x, rep), mass0)
+        if data is not None:
+            data = jax.tree.map(lambda x: jax.device_put(x, rep), data)
 
     cache_key = (
         log_density, data is not None, num_warmup, num_draws,

@@ -87,9 +87,29 @@ def do_inference(
     tol_rel_obj: float = 0.01,
     pass_fit: bool = False,
     mcmc_sampler: str = "hmc",
+    mesh=None,
     dtype=jnp.float32,
 ) -> InferenceResult:
-    """One fit + CI extraction + outlier annotation (reference R/utilities.R:1321-1547)."""
+    """One fit + CI extraction + outlier annotation (reference R/utilities.R:1321-1547).
+
+    With `mesh` (a jax.sharding.Mesh) the fit itself runs multi-device — the
+    TPU-native equivalent of the parallelism the reference runs INSIDE every
+    Stan fit (map_rect gene fan-out, stan:226-240; chain processes,
+    R/utilities.R:1497-1502). The mesh's axis names select the layout:
+
+    - a `genes` axis: gene-data-parallel. The gene count is padded to the
+      shard count, per-gene model data/parameters carry `genes`
+      NamedShardings, and the fit runs on the pytree state (ADVI and the
+      tree-state jittered HMC); XLA GSPMD inserts the log-density psums.
+    - a `chains` axis (without `genes`): the flat-state samplers shard their
+      chain batch across devices (pure data parallelism; ADVI warm start
+      stays replicated — it is a single small optimization).
+    - both axes (2-D mesh): gene-sharded state with the chain batch sharded
+      too.
+
+    The posterior draws stay sharded on device; CI extraction and the PPC
+    consume them in place.
+    """
     from ppcseq_tpu.utils.log import breadcrumb
 
     breadcrumb("executing do_inference")
@@ -98,6 +118,17 @@ def do_inference(
         X, sorted_sample_names, exposure_by_sample,
         exclude=to_exclude,
     )
+    mesh_genes = mesh is not None and "genes" in mesh.axis_names
+    mesh_chains = mesh is not None and "chains" in mesh.axis_names
+    if mesh is not None and not (mesh_genes or mesh_chains):
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} unknown: name them 'genes' and/or 'chains'"
+        )
+    pad_to = None
+    if mesh_genes:
+        n_shards = mesh.shape["genes"]
+        g_real = md.counts.shape[1]
+        pad_to = -(-g_real // n_shards) * n_shards
     # Centered parametrization by default: with ~20 informative samples per
     # gene the centered geometry mixes better (51 vs 383 leapfrogs/draw on
     # the bundled data); the non-centered option in nb_model remains for
@@ -105,10 +136,26 @@ def do_inference(
     data, dims = nb_model.prepare_data(
         md.counts, md.X, md.exposure_rate, md.n_check,
         exclude_mask=md.exclude_mask,
+        pad_genes_to=pad_to,
         dtype=dtype,
     )
     # delta-form likelihood baseline: float32-smooth evaluation (TPU)
     data = nb_model.with_baseline(data, dims)
+    if mesh_genes:
+        return _do_inference_gene_sharded(
+            my_df=my_df, md=md, data=data, dims=dims, mesh=mesh,
+            formula=formula, sample=sample, transcript=transcript,
+            abundance=abundance, do_check=do_check, X=X,
+            approximate_posterior_inference=approximate_posterior_inference,
+            approximate_posterior_analysis=approximate_posterior_analysis,
+            adj_prob_theshold=adj_prob_theshold,
+            how_many_posterior_draws=how_many_posterior_draws,
+            sorted_sample_names=sorted_sample_names,
+            seed=seed, truncation_compensation=truncation_compensation,
+            save_generated_quantities=save_generated_quantities,
+            additional_parameters_to_save=additional_parameters_to_save,
+            pass_fit=pass_fit, mcmc_sampler=mcmc_sampler, dtype=dtype,
+        )
     # FLAT [D] state everywhere in this driver: every integrator/optimizer
     # op is one fused vector op (the pytree state costs ~10 small ops per
     # step and is reserved for gene-sharded multi-chip, parallel/sharding).
@@ -156,8 +203,13 @@ def do_inference(
             dtype=dtype,
         )
         inv_mass = np.exp(2.0 * np.asarray(warm.log_sd))
+        chain_mesh = mesh if mesh_chains else None
         if mcmc_sampler == "hmc":
             chains = K.HMC_CHAINS
+            if mesh_chains:
+                # chain batch must divide evenly across the chain shards
+                n_dev = mesh.shape["chains"]
+                chains = -(-chains // n_dev) * n_dev
             per_chain = int(np.ceil(draws_practical / chains))
             # divergence-retry ladder (the MCMC analog of vb_iterative,
             # reference R/utilities.R:246-278): tighten target accept if
@@ -173,6 +225,7 @@ def do_inference(
                     target_accept=ta,
                     init_theta=warm.mean,
                     inv_mass=inv_mass,
+                    mesh=chain_mesh,
                     dtype=dtype,
                 )
                 if res.divergences.sum() <= 0.02 * chains * per_chain:
@@ -188,6 +241,9 @@ def do_inference(
             }
         elif mcmc_sampler == "nuts":
             chains = chains_for_run(draws_practical, cores)
+            if mesh_chains:
+                n_dev = mesh.shape["chains"]
+                chains = max(chains, n_dev) if chains % n_dev == 0 else -(-chains // n_dev) * n_dev
             per_chain = mcmc_iterations(draws_practical, chains)
             res = run_nuts(
                 logp, dims.dim, k_fit,
@@ -197,6 +253,7 @@ def do_inference(
                 num_draws=per_chain,
                 init_theta=jnp.asarray(warm.mean, dtype),
                 inv_mass_init=jnp.asarray(inv_mass, dtype),
+                mesh=chain_mesh,
                 dtype=dtype,
             )
             fit_info = {
@@ -222,6 +279,36 @@ def do_inference(
         thetas = jnp.reshape(res.draws, (-1, dims.dim))
         fit_obj = res
 
+    return _finish_inference(
+        thetas=thetas, fit=fit_obj if pass_fit else fit_info,
+        md=md, data=data, dims=dims, my_df=my_df, formula=formula,
+        sample=sample, transcript=transcript, abundance=abundance,
+        do_check=do_check, X=X, sorted_sample_names=sorted_sample_names,
+        approximate_posterior_analysis=approximate_posterior_analysis,
+        adj_prob_theshold=adj_prob_theshold,
+        how_many_posterior_draws=how_many_posterior_draws,
+        truncation_compensation=truncation_compensation,
+        save_generated_quantities=save_generated_quantities,
+        additional_parameters_to_save=additional_parameters_to_save,
+        pass_fit=pass_fit, k_ci=k_ci, dtype=dtype,
+    )
+
+
+def _finish_inference(
+    *, thetas, fit, md, data, dims, my_df, formula, sample, transcript,
+    abundance, do_check, X, sorted_sample_names,
+    approximate_posterior_analysis, adj_prob_theshold,
+    how_many_posterior_draws, truncation_compensation,
+    save_generated_quantities, additional_parameters_to_save,
+    pass_fit, k_ci, dtype,
+) -> InferenceResult:
+    """CI extraction + PPC decision + outlier annotation, from posterior draws.
+
+    The second half of the reference's do_inference (R/utilities.R:1516-1544);
+    shared by the single-device (flat-state) and mesh (pytree-state) drivers.
+    `thetas` is a flat [n, D] array or a stacked pytree — either may be
+    sharded over a mesh; all extraction/PPC math consumes it in place.
+    """
     lambda_log_draws, sigma_raw_draws = nb_model.extract_lambda_sigma_draws(thetas, data, dims)
     alpha1_draws = nb_model.extract_alpha_sub_1_draws(thetas, dims)
     slope_mean = np.asarray(jnp.mean(alpha1_draws, axis=0))  # posterior mean per checked gene
@@ -324,9 +411,149 @@ def do_inference(
     return InferenceResult(
         table=check_df,
         total_draws=total_draws,
-        fit=fit_obj if pass_fit else fit_info,
+        fit=fit,
         counts_rng=counts_rng,
         additional_parameters=additional,
+    )
+
+
+def _do_inference_gene_sharded(
+    *, my_df, md, data, dims, mesh, formula, sample, transcript, abundance,
+    do_check, X, approximate_posterior_inference, approximate_posterior_analysis,
+    adj_prob_theshold, how_many_posterior_draws, sorted_sample_names, seed,
+    truncation_compensation, save_generated_quantities,
+    additional_parameters_to_save, pass_fit, mcmc_sampler, dtype,
+) -> InferenceResult:
+    """Gene-sharded fit: the map_rect analog inside the product pipeline.
+
+    The reference fans the likelihood across threads/MPI ranks on EVERY fit
+    (map_rect, stan:226-240, R/utilities.R:1479); here the state is the
+    parameter pytree whose per-gene leaves ([G] = intercept, sigma_raw, and
+    the [S, G] model data) carry `genes` NamedShardings over the mesh, so
+    every elementwise leapfrog/ELBO op stays local per gene shard and XLA
+    GSPMD inserts psums only for the scalar log-density reductions. Both
+    inference branches run sharded: ADVI (the VB default) and the tree-state
+    jittered HMC / NUTS. When the mesh also names a `chains` axis, the chain
+    batch is device-sharded too (2-D chain x gene parallelism). Draws stay
+    sharded on device; extraction and the PPC consume them in place.
+    """
+    from ppcseq_tpu.infer.hmc import run_hmc_tree
+    from ppcseq_tpu.model.params import SCALAR_NAMES, zeros_tree
+    from ppcseq_tpu.parallel.sharding import shard_data, shard_params
+
+    logp = nb_model.tree_logp(dims)
+    init_tree = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype), nb_model.smart_init(data, dims, as_tree=True)
+    )
+    data_sh = shard_data(data, mesh)
+    init_sh = shard_params(init_tree, mesh, dims)
+    proto_sh = shard_params(zeros_tree(dims, dtype), mesh, dims)
+
+    draws_practical = (
+        K.APPROX_ANALYSIS_PRACTICAL_DRAWS
+        if approximate_posterior_analysis
+        else int(np.ceil(how_many_posterior_draws))
+    )
+    key = jax.random.PRNGKey(seed)
+    k_fit, k_draws, k_ci = jax.random.split(key, 3)
+
+    fit_info: dict[str, Any] = {"mesh": dict(mesh.shape)}
+    if approximate_posterior_inference:
+        res = vb_iterative(
+            logp, proto_sh, k_fit, data=data_sh,
+            max_iter=K.VB_MAX_ITER, tol_rel_obj=K.VB_TOL_REL_OBJ,
+            init_mean=init_sh, dtype=dtype,
+        )
+        thetas = advi_sample(res, k_draws, draws_practical, dtype=dtype)
+        fit_info.update(method="advi", elbo=res.elbo, iterations=res.iterations)
+        fit_obj = res
+    else:
+        warm = fit_advi(
+            logp, proto_sh, jax.random.fold_in(k_fit, 99), data=data_sh,
+            init_mean=init_sh, tol_rel_obj=0.01, learning_rate=0.3,
+            eval_every=50, grad_samples=4, dtype=dtype,
+        )
+        inv_mass = jax.tree.map(lambda ls: jnp.exp(2.0 * ls), warm.log_sd)
+        if mcmc_sampler == "hmc":
+            chains = K.HMC_CHAINS
+            if "chains" in mesh.axis_names:
+                n_dev = mesh.shape["chains"]
+                chains = -(-chains // n_dev) * n_dev
+            per_chain = int(np.ceil(draws_practical / chains))
+            # same divergence-retry ladder as the flat driver
+            for attempt, ta in enumerate((0.8, 0.95, 0.99)):
+                res = run_hmc_tree(
+                    logp, proto_sh, jax.random.fold_in(k_fit, attempt),
+                    data=data_sh,
+                    num_chains=chains,
+                    num_warmup=K.HMC_WARMUP,
+                    num_draws=per_chain,
+                    num_leapfrog=K.HMC_LEAPFROG,
+                    target_accept=ta,
+                    init_theta=warm.mean,
+                    inv_mass=inv_mass,
+                    mesh=mesh, dims=dims, dtype=dtype,
+                )
+                if res.divergences.sum() <= 0.02 * chains * per_chain:
+                    break
+                print(f"ppcseq says: {int(res.divergences.sum())} divergent "
+                      f"transitions at target_accept={ta}; retrying tighter")
+            fit_info.update(
+                method="hmc", chains=chains, step_size=res.step_size,
+                divergences=res.divergences.tolist(), target_accept=ta,
+            )
+        elif mcmc_sampler == "nuts":
+            # gene-sharded NUTS compiles (tests/test_sharding.py) but GSPMD
+            # partitioning of the dynamic tree build is slow at large G —
+            # HMC is the at-scale gene-sharded mode (docs/ARCHITECTURE.md §6)
+            from ppcseq_tpu.infer.nuts import run_nuts as _run_nuts
+
+            chains = 4
+            per_chain = int(np.ceil(draws_practical / chains))
+            res = _run_nuts(
+                logp, proto_sh, k_fit, data=data_sh,
+                num_chains=chains, num_warmup=K.MCMC_WARMUP,
+                num_draws=per_chain, init_theta=init_sh,
+                inv_mass_init=inv_mass, dtype=dtype,
+            )
+            fit_info.update(
+                method="nuts", chains=chains,
+                divergences=res.divergences.tolist(),
+            )
+        else:
+            raise ValueError(f"unknown mcmc_sampler {mcmc_sampler!r} (use 'hmc' or 'nuts')")
+        # convergence diagnostics on the call-driving block (hyperparameters
+        # + slopes), assembled from the pytree draws
+        from ppcseq_tpu.infer.diagnostics import summarize as diag_summarize
+
+        if per_chain >= 4:
+            blk = np.concatenate(
+                [
+                    np.stack([np.asarray(res.draws[n]) for n in SCALAR_NAMES], axis=-1),
+                    np.asarray(res.draws["alpha_sub_1"]),
+                ],
+                axis=-1,
+            )
+            d = diag_summarize(blk)
+            fit_info["rhat_max"] = d["rhat_max"]
+            fit_info["ess_min"] = d["ess_min"]
+        # flatten [chains, draws, ...] -> [n, ...]; gene leaves keep their
+        # `genes` sharding, so extraction below stays on-mesh
+        thetas = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), res.draws)
+        fit_obj = res
+
+    return _finish_inference(
+        thetas=thetas, fit=fit_obj if pass_fit else fit_info,
+        md=md, data=data_sh, dims=dims, my_df=my_df, formula=formula,
+        sample=sample, transcript=transcript, abundance=abundance,
+        do_check=do_check, X=X, sorted_sample_names=sorted_sample_names,
+        approximate_posterior_analysis=approximate_posterior_analysis,
+        adj_prob_theshold=adj_prob_theshold,
+        how_many_posterior_draws=how_many_posterior_draws,
+        truncation_compensation=truncation_compensation,
+        save_generated_quantities=save_generated_quantities,
+        additional_parameters_to_save=additional_parameters_to_save,
+        pass_fit=pass_fit, k_ci=k_ci, dtype=dtype,
     )
 
 
@@ -355,6 +582,7 @@ def identify_outliers(
     adj_prob_theshold_2: float | None = None,
     mcmc_sampler: str = "hmc",
     checkpoint_dir: str | None = None,
+    mesh=None,
     dtype=jnp.float32,
 ) -> pd.DataFrame:
     """Identify deleterious outlier observations per significant transcript.
@@ -375,10 +603,29 @@ def identify_outliers(
       "lambda_log_param".
     - checkpoint_dir: persist each pass's results keyed by a config+data
       fingerprint; an identical rerun resumes without refitting.
+    - mesh: a jax.sharding.Mesh — BOTH passes' fits run multi-device, the
+      TPU equivalent of the parallelism the reference runs inside every fit
+      (map_rect gene fan-out + chain processes, R/utilities.R:1479-1512).
+      Name the axes `genes` (gene-data-parallel: sharded model data +
+      per-gene parameters, works for VB, HMC and NUTS) and/or `chains`
+      (device-sharded chain batch for the MCMC samplers). E.g.
+      `Mesh(np.array(jax.devices()).reshape(4, 2), ("chains", "genes"))`.
     - dtype: float32 (TPU default) or float64 (CPU validation).
     """
     if cores is None:
         cores = os.cpu_count() or 1
+    if tol_rel_obj != 0.01:
+        # Faithful reference quirk: the user-facing tol_rel_obj argument is
+        # accepted but the VB fit hard-codes 0.005 (R/utilities.R:1491-1493);
+        # we mirror the behavior (utils/constants.VB_TOL_REL_OBJ) but — unlike
+        # the reference — tell the caller instead of silently ignoring it.
+        import warnings
+
+        warnings.warn(
+            "ppcseq says: tol_rel_obj is accepted for API parity but ignored — "
+            f"the VB fit uses the reference's hard-coded {K.VB_TOL_REL_OBJ} "
+            "(reference R/utilities.R:1491-1493; see docs/PARITY.md)"
+        )
     if do_check_only_on_detrimental is None:
         do_check_only_on_detrimental = len(parse_formula(formula)) > 0
     if seed is None:
@@ -469,6 +716,7 @@ def identify_outliers(
         cores=cores,
         tol_rel_obj=tol_rel_obj,
         mcmc_sampler=mcmc_sampler,
+        mesh=mesh,
         dtype=dtype,
     )
 

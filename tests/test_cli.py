@@ -53,6 +53,37 @@ def test_additional_parameters_unknown_name(tiny_counts):
         )
 
 
+def test_cli_sampler_flag_reaches_do_inference(tiny_counts, tmp_path, monkeypatch):
+    """--full-posterior --mcmc-sampler nuts must select MCMC + NUTS in the
+    inference driver (cli.py round-3 bug: the flag didn't exist and the help
+    text claimed NUTS while HMC ran)."""
+    import ppcseq_tpu.pipeline.identify as pid
+
+    seen = {}
+
+    class _Stop(Exception):
+        pass
+
+    def spy(*args, **kwargs):
+        seen["mcmc_sampler"] = kwargs.get("mcmc_sampler")
+        seen["approximate_posterior_inference"] = kwargs.get("approximate_posterior_inference")
+        raise _Stop
+
+    monkeypatch.setattr(pid, "do_inference", spy)
+    inp = tmp_path / "input.csv"
+    tiny_counts.to_csv(inp, index=False)
+    with pytest.raises(_Stop):
+        cli_main([
+            str(inp), "-o", str(tmp_path / "r"),
+            "--formula", "~ Label",
+            "--sample", "sample", "--transcript", "symbol",
+            "--abundance", "value", "--significance", "PValue",
+            "--do-check", "is_significant", "--negative-controls", "20",
+            "--full-posterior", "--mcmc-sampler", "nuts",
+        ])
+    assert seen == {"mcmc_sampler": "nuts", "approximate_posterior_inference": False}
+
+
 def test_cli_end_to_end(tiny_counts, tmp_path):
     inp = tmp_path / "input.csv"
     tiny_counts.to_csv(inp, index=False)

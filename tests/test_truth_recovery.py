@@ -16,9 +16,9 @@ from ppcseq_tpu.utils.synthetic import synthetic_cohort
 
 @pytest.fixture(scope="module")
 def synthetic_run():
-    S, G, n_check = 16, 160, 12
+    S, G, n_check = 16, 200, 30
     counts, X, exposure, truth = synthetic_cohort(
-        n_genes=G, n_samples=S, n_check=n_check, outlier_frac=0.04, seed=3
+        n_genes=G, n_samples=S, n_check=n_check, outlier_frac=0.06, seed=3
     )
     # tidy long table
     rows = []
@@ -43,10 +43,12 @@ def synthetic_run():
     )
     injected = {(s, g) for s, g in truth["outliers"] if g < n_check}
     # a spike is only statistically detectable when it dwarfs the gene's
-    # typical same-group level; condition recall on ~8x the gene median
+    # typical same-group level; condition recall on >=5x the gene median
+    # (tightened from the round-1 8x/0.75 bar — the SBC suite now pins
+    # calibration, so recovery can demand more)
     med = np.median(counts, axis=0)
     detectable = {
-        (s, g) for s, g in injected if counts[s, g] >= 8 * max(med[g], 1.0)
+        (s, g) for s, g in injected if counts[s, g] >= 5 * max(med[g], 1.0)
     }
     return res, injected, detectable, n_check
 
@@ -61,9 +63,9 @@ def test_injected_outliers_detected(synthetic_run):
         for _, r in bad.iterrows():
             flagged.add((int(r["S"]), row["transcript"]))
     det_named = {(s, name_of(g)) for s, g in detectable}
-    assert len(det_named) >= 3  # the seed must give signal to detect
+    assert len(det_named) >= 15  # the seed must give signal to detect
     recall = len(flagged & det_named) / len(det_named)
-    assert recall >= 0.75, (recall, sorted(det_named), sorted(flagged))
+    assert recall >= 0.85, (recall, sorted(det_named), sorted(flagged))
 
 
 def test_false_positive_rate_bounded(synthetic_run):

@@ -136,6 +136,23 @@ def main():
     diag = diag_summarize(res.draws[:, :, sel])
     baseline_dps, baseline_ess_ps, baseline_note = _baseline()
     ess_per_sec = diag["ess_min"] / elapsed
+
+    # roofline: XLA-counted flops/bytes of the hot op (one batched
+    # logp+gradient over all chains = one leapfrog's compute), scaled by the
+    # executed batched-leapfrog count (res.num_leapfrog counts per-chain)
+    from ppcseq_tpu.utils.roofline import cost_of, utilization
+
+    z_batch = jnp.tile(init[None, :], (num_chains, 1))
+    hot = cost_of(
+        lambda z, d: jax.vmap(jax.value_and_grad(logp), in_axes=(0, None))(z, d),
+        z_batch, data,
+    )
+    batched_lf = res.num_leapfrog / num_chains
+    util = utilization(
+        None if hot["flops"] is None else hot["flops"] * batched_lf / elapsed,
+        None if hot["bytes"] is None else hot["bytes"] * batched_lf / elapsed,
+        jax.devices()[0],
+    )
     result = {
         "metric": "posterior_draws_per_sec_1chip_counts515",
         "value": round(draws_per_sec, 1),
@@ -162,6 +179,7 @@ def main():
             "ess_min": round(diag["ess_min"], 0),
             "device": str(jax.devices()[0]),
             "baseline_note": baseline_note,
+            **util,
         },
     }
     print(json.dumps(result))

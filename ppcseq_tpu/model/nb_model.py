@@ -567,6 +567,109 @@ def analytic_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarra
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused value+gradient likelihood: the custom-VJP *forward* computes the
+# closed-form gradients (ops.nb_grad) TOGETHER with the value, so XLA fuses
+# both elementwise passes over the [S, G] operands into one — counts/mask
+# (and baseline constants) stream from HBM once per leapfrog instead of once
+# for the forward and again for the backward. The backward is then a trivial
+# cotangent scale of the stashed [C, G]/[G] gradients. Value math is
+# identical to masked_likelihood (delta-form when baseline attached); like
+# the analytic path it is first-order only.
+#
+# When the function is NOT being differentiated (ADVI ELBO eval, MH accept
+# re-evaluation), jax.custom_vjp calls the primal below, which computes the
+# value alone — no wasted gradient work.
+
+
+def _plain_value(X, exposure, counts, mask, alpha, log_phi):
+    eta = exposure[:, None] + jnp.dot(
+        X, alpha, preferred_element_type=X.dtype, precision="highest"
+    )
+    pts = nb2_log_lpmf_stable(counts, eta, jnp.broadcast_to(log_phi[None, :], eta.shape))
+    return jnp.sum(mask * pts)
+
+
+def _delta_value(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    data = ModelData(
+        counts=counts, X=X, exposure_rate=exposure, like_mask=mask,
+        gene_mask=mask[0], alpha0=alpha0, sigma_raw0=sigma_raw0, d0=d0,
+        sp_d0=sp_d0, sig_neg_d0=sig_neg_d0, y_sp0=y_sp0,
+    )
+    return delta_likelihood(data, alpha, log_phi)
+
+
+@jax.custom_vjp
+def _fused_plain(X, exposure, counts, mask, alpha, log_phi):
+    return _plain_value(X, exposure, counts, mask, alpha, log_phi)
+
+
+def _fused_plain_fwd(X, exposure, counts, mask, alpha, log_phi):
+    from ppcseq_tpu.ops.nb_grad import likelihood_grads
+
+    out = _plain_value(X, exposure, counts, mask, alpha, log_phi)
+    dalpha, dlogphi = likelihood_grads(X, exposure, counts, mask, alpha, log_phi)
+    return out, (dalpha, dlogphi)
+
+
+def _fused_plain_bwd(residuals, g):
+    dalpha, dlogphi = residuals
+    return (None, None, None, None, g * dalpha, g * dlogphi)
+
+
+_fused_plain.defvjp(_fused_plain_fwd, _fused_plain_bwd)
+
+
+@jax.custom_vjp
+def _fused_delta(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    return _delta_value(
+        X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0,
+        y_sp0, alpha, log_phi,
+    )
+
+
+def _fused_delta_fwd(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    from ppcseq_tpu.ops.nb_grad import likelihood_grads
+
+    out = _delta_value(
+        X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0,
+        y_sp0, alpha, log_phi,
+    )
+    dalpha, dlogphi = likelihood_grads(X, exposure, counts, mask, alpha, log_phi)
+    return out, (dalpha, dlogphi)
+
+
+def _fused_delta_bwd(residuals, g):
+    dalpha, dlogphi = residuals
+    return (None,) * 10 + (g * dalpha, g * dlogphi)
+
+
+_fused_delta.defvjp(_fused_delta_fwd, _fused_delta_bwd)
+
+
+def fused_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
+    """masked_likelihood with gradients computed IN the forward (one fused
+    pass over the data). Drop-in `likelihood_fn`; first-order only."""
+    if data.d0 is not None:
+        return _fused_delta(
+            data.X, data.exposure_rate, data.counts, data.like_mask,
+            data.alpha0, data.sigma_raw0, data.d0, data.sp_d0,
+            data.sig_neg_d0, data.y_sp0, alpha, log_phi,
+        )
+    return _fused_plain(
+        data.X, data.exposure_rate, data.counts, data.like_mask, alpha, log_phi
+    )
+
+
 def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
     """Flat-vector variant of log_joint_tree."""
     return log_joint_tree(theta_to_tree(theta, dims), data, dims, likelihood_fn=likelihood_fn)
@@ -588,8 +691,14 @@ def _resolve_likelihood_fn(likelihood: str):
         from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood
 
         return make_pallas_likelihood(gene_tile=2048)
+    if likelihood == "pallas_fused":
+        from ppcseq_tpu.ops.nb_kernel import make_pallas_fused_likelihood
+
+        return make_pallas_fused_likelihood(gene_tile=2048)
     if likelihood == "analytic":
         return analytic_likelihood
+    if likelihood == "fused":
+        return fused_likelihood
     return None
 
 

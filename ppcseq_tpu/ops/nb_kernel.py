@@ -218,3 +218,201 @@ def nb_glm_loglik_reference(X, alpha, log_phi, exposure, counts, mask):
     """Plain-JAX unfolded semantic reference (ground truth for kernel tests)."""
     eta = exposure[:, None] + X @ alpha
     return jnp.sum(mask * nb2_log_lpmf(counts, eta, jnp.broadcast_to(log_phi[None, :], eta.shape)))
+
+
+# ---------------------------------------------------------------------------
+# Fused value+gradient kernel (delta-form): ONE VMEM pass computes the
+# delta-form log-likelihood (nb_model.delta_likelihood semantics — the
+# float32-smooth evaluation the TPU samplers require) TOGETHER with the
+# analytic gradients (ops.nb_grad math). The [S, G]-sized HBM reads per
+# leapfrog drop to three (counts, mask, d0): the remaining delta-form
+# baseline constants (softplus(d0), sigmoid(-d0), y*softplus(-d0)) are
+# derived from d0 in VMEM — VPU flops are cheaper than HBM reads — and the
+# value/gradient branches share d, sigmoid(-d) and softplus(-d). The
+# separate forward/backward kernels above read counts+mask twice and ignore
+# the delta baseline; this kernel supersedes them for the production path.
+
+
+def _fused_dkernel(
+    x_ref, counts_ref, mask_ref, d0_ref, alpha_ref, alpha0_ref,
+    logphi_ref, sraw0_ref, val_ref, dalpha_ref, dlogphi_ref,
+):
+    from ppcseq_tpu.ops.nb import (
+        _softplus,
+        expm1_precise,
+        log1p_precise,
+        nb2_part1,
+    )
+    from ppcseq_tpu.ops.nb_grad import (
+        phi_digamma_diff,
+        phi_softplus_minus_sigmoid,
+    )
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        val_ref[0, 0] = jnp.zeros((), val_ref.dtype)
+
+    x = x_ref[:, :]
+    y = counts_ref[:, :].astype(jnp.float32)
+    mask = mask_ref[:, :]
+    d0 = d0_ref[:, :]
+
+    # delta-form geometry (nb_model.delta_likelihood): d = d0 + dlo
+    log_phi_raw = logphi_ref[:, :]
+    log_phi_c = jnp.minimum(log_phi_raw, 80.0)
+    delta_eta = jnp.dot(
+        x, alpha_ref[:, :] - alpha0_ref[:, :],
+        preferred_element_type=jnp.float32, precision="highest",
+    )
+    dlo = delta_eta - (log_phi_c + sraw0_ref[:, :])
+    d = d0 + dlo
+    phi_row = jnp.exp(log_phi_c)
+    phi = jnp.broadcast_to(phi_row, d.shape)
+    log_phi = jnp.broadcast_to(log_phi_c, d.shape)
+
+    # baseline constants rebuilt from d0 in VMEM (softplus(-d0) = sp_d0 - d0)
+    em0 = jnp.exp(-jnp.abs(d0))
+    sig_neg_d0 = jnp.where(d0 > 0, em0 / (1.0 + em0), 1.0 / (1.0 + em0))
+    sp_d0 = jnp.where(d0 > 0, d0, 0.0) + log1p_precise(em0)
+    spn0 = sp_d0 - d0
+
+    # --- value: hybrid delta increments (see nb_model.delta_likelihood) ---
+    dlo_m = jnp.clip(dlo, -2.0, 8.0)
+    sp_d_mid = sp_d0 + log1p_precise((1.0 - sig_neg_d0) * expm1_precise(dlo_m))
+    inc_neg_mid = log1p_precise(sig_neg_d0 * expm1_precise(-dlo_m))
+    softplus_neg_d = _softplus(-d)
+    phi_sp_far = jnp.where(
+        d < -25.0,
+        jnp.exp(jnp.clip(log_phi + d, -60.0, 60.0)),
+        phi * _softplus(d),
+    )
+    mid = (dlo > -2.0) & (dlo < 8.0)
+    phi_sp = jnp.where(mid, phi * sp_d_mid, phi_sp_far)
+    inc_neg = jnp.where(mid, inc_neg_mid, softplus_neg_d - spn0)
+    part1 = nb2_part1(y, phi, log_phi)
+    pts = part1 - phi_sp - y * inc_neg - y * spn0
+    val_ref[0, 0] += jnp.sum(mask * pts)
+
+    # --- gradients: analytic (ops.nb_grad.nb2_grads), sharing d ----------
+    em = jnp.exp(-jnp.abs(d))
+    q = jnp.where(d > 0, em / (1.0 + em), 1.0 / (1.0 + em))  # sigmoid(-d)
+    phi_p = jnp.exp(log_phi - softplus_neg_d)  # phi * sigmoid(d), log-space
+    deta = mask * (y * q - phi_p)
+    dlogphi_elem = jnp.where(
+        jnp.broadcast_to(log_phi_raw, d.shape) < 80.0,
+        phi_digamma_diff(y, phi, log_phi)
+        - phi_softplus_minus_sigmoid(d, log_phi)
+        - y * q,
+        0.0,
+    )
+    dalpha_ref[:, :] = jnp.dot(
+        x.T, deta, preferred_element_type=jnp.float32, precision="highest"
+    )
+    dlogphi_ref[:, :] = jnp.sum(mask * dlogphi_elem, axis=0, keepdims=True)
+
+
+def _fused_call(X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+                gene_tile, interpret):
+    S, C = X.shape
+    G = alpha.shape[1]
+    T = min(gene_tile, G)
+    G_pad = -(-G // T) * T
+    args = (
+        X.astype(jnp.float32),
+        _pad_axis(counts, 1, G_pad),
+        _pad_axis(mask, 1, G_pad).astype(jnp.float32),
+        _pad_axis(d0, 1, G_pad).astype(jnp.float32),
+        _pad_axis(alpha, 1, G_pad).astype(jnp.float32),
+        _pad_axis(alpha0, 1, G_pad).astype(jnp.float32),
+        _pad_axis(log_phi.reshape(1, -1), 1, G_pad).astype(jnp.float32),
+        _pad_axis(sigma_raw0.reshape(1, -1), 1, G_pad).astype(jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    val, dalpha, dlogphi = pl.pallas_call(
+        _fused_dkernel,
+        grid=(G_pad // T,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, G_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, G_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return val[0, 0], dalpha[:, :G], dlogphi[0, :G]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fused_loglik(
+    X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+    gene_tile=DEFAULT_GENE_TILE, interpret=False,
+):
+    val, _, _ = _fused_call(
+        X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+        gene_tile, interpret,
+    )
+    return val
+
+
+def _fused_vjp_fwd(X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+                   gene_tile, interpret):
+    val, dalpha, dlogphi = _fused_call(
+        X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+        gene_tile, interpret,
+    )
+    # kernel computes f32; return cotangents in the primals' dtypes
+    return val, (dalpha.astype(alpha.dtype), dlogphi.astype(log_phi.dtype))
+
+
+def _fused_vjp_bwd(gene_tile, interpret, residuals, g):
+    dalpha, dlogphi = residuals
+    return (
+        None,
+        g.astype(dalpha.dtype) * dalpha,
+        g.astype(dlogphi.dtype) * dlogphi,
+        None, None, None, None, None,
+    )
+
+
+_fused_loglik.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+
+def nb_glm_likelihood_fused(data, alpha, log_phi, gene_tile=DEFAULT_GENE_TILE,
+                            interpret=False):
+    """One-pass fused value+gradient Pallas likelihood (delta-form).
+
+    Requires delta-form baseline constants on `data`
+    (nb_model.with_baseline); only d0 of the four [S, G] baselines is read —
+    the rest are rebuilt in VMEM. Drop-in `likelihood_fn`; first-order only.
+    """
+    if data.d0 is None:
+        raise ValueError(
+            "nb_glm_likelihood_fused requires baseline constants "
+            "(nb_model.with_baseline)"
+        )
+    return _fused_loglik(
+        data.X, alpha, log_phi, data.counts, data.like_mask,
+        data.alpha0, data.sigma_raw0, data.d0, gene_tile, interpret,
+    )
+
+
+def make_pallas_fused_likelihood(gene_tile=DEFAULT_GENE_TILE, interpret=False):
+    return functools.partial(
+        nb_glm_likelihood_fused, gene_tile=gene_tile, interpret=interpret
+    )

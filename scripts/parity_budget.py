@@ -89,6 +89,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--mcmc", action="store_true")
     ap.add_argument("--nuts", action="store_true")
+    ap.add_argument("--f64", action="store_true",
+                    help="float64 end to end (CPU): excludes f32 sampling "
+                         "artifacts from the tail-probability verdict")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", default="PARITY_BUDGET.json")
     args = ap.parse_args()
@@ -98,6 +101,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     from ppcseq_tpu import identify_outliers, load_counts
     from ppcseq_tpu.utils.constants import TRUNCATION_COMPENSATION_PASS2
@@ -105,6 +112,13 @@ def main():
     counts = load_counts()
     counts = counts.assign(is_significant=counts.FDR < 0.01)
     method = "nuts" if args.nuts else ("hmc" if args.mcmc else "vb")
+
+    if args.f64:
+        import jax.numpy as jnp
+
+        extra_kw = {"dtype": jnp.float64}
+    else:
+        extra_kw = {}
 
     res = identify_outliers(
         counts,
@@ -119,6 +133,7 @@ def main():
         approximate_posterior_inference=method == "vb",
         mcmc_sampler=method if method != "vb" else "hmc",
         additional_parameters_to_save=("lambda_log_param", "sigma"),
+        **extra_kw,
     )
 
     S = counts["sample"].nunique()
@@ -127,7 +142,8 @@ def main():
     lam_draws = res.attrs["additional_parameters"]["lambda_log_param"]  # [n, S, K]
     sigma_draws = res.attrs["additional_parameters"]["sigma"]  # [n, G] (constrained)
 
-    report = {"method": method, "seed": args.seed, "adj_prob_theshold_2": thr2, "cells": []}
+    report = {"method": method, "seed": args.seed, "f64": bool(args.f64),
+              "adj_prob_theshold_2": thr2, "cells": []}
     candidates = []  # (is_goi, symbol, closeness) -> entry
     for _, row in res.iterrows():
         sym = row["symbol"]

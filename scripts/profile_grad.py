@@ -64,6 +64,7 @@ def main():
         ("delta-autodiff ", nb_model.flat_logp(dims, "plain"), data_base),
         ("plain-analytic ", nb_model.flat_logp(dims, "analytic"), data),
         ("delta-analytic ", nb_model.flat_logp(dims, "analytic"), data_base),
+        ("delta-fusedXLA ", nb_model.flat_logp(dims, "fused"), data_base),
     ]
 
     def pallas_logp(theta, data):
@@ -72,6 +73,16 @@ def main():
         )
 
     variants.append(("pallas         ", pallas_logp, data))
+
+    from ppcseq_tpu.ops.nb_kernel import make_pallas_fused_likelihood
+
+    def pallas_fused_logp(theta, data):
+        return nb_model.log_joint(
+            theta, data, dims,
+            likelihood_fn=make_pallas_fused_likelihood(gene_tile=512),
+        )
+
+    variants.append(("pallas-fused   ", pallas_fused_logp, data_base))
 
     for chains in (128, 512):
         print(f"--- chains={chains} ---")

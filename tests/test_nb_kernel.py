@@ -123,3 +123,87 @@ def test_log_joint_with_kernel_matches_plain():
     )
     # kernel computes in float32 internally; the plain path here is float64
     np.testing.assert_allclose(lp_kernel, lp_plain, rtol=3e-4)
+
+
+# --- fused value+gradient variants (round 4) -------------------------------
+
+
+def _baseline_case(S=10, G=64, n_check=4, seed=5):
+    data, dims, alpha, log_phi = _case(S=S, G=G, n_check=n_check, seed=seed)
+    data = nb_model.with_baseline(data, dims)
+    theta = jnp.asarray(nb_model.smart_init(data, dims), jnp.float64)
+    return data, dims, theta
+
+
+def test_fused_xla_value_and_grad_match_autodiff():
+    """The fused-XLA likelihood ('fused': gradients computed in the forward)
+    must match the delta-form autodiff path: identical value, gradients
+    within analytic-vs-autodiff tolerance."""
+    data, dims, theta = _baseline_case()
+    ref = nb_model.flat_logp(dims, "plain")  # delta form via baseline
+    fused = nb_model.flat_logp(dims, "fused")
+    v0, g0 = jax.value_and_grad(ref)(theta, data)
+    v1, g1 = jax.value_and_grad(fused)(theta, data)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-12)
+    a0 = np.asarray(g0)
+    # analytic-series error is ~1e-9 RELATIVE per point; entries that nearly
+    # cancel across samples see it amplified, so bound absolutely against
+    # the gradient's scale (counts here reach 1e6)
+    np.testing.assert_allclose(
+        np.asarray(g1), a0, rtol=1e-4, atol=1e-6 * (1 + np.abs(a0).max())
+    )
+
+
+def test_fused_xla_primal_has_no_grad_work():
+    """Outside differentiation the primal computes the value alone and still
+    equals the reference."""
+    data, dims, theta = _baseline_case()
+    ref = nb_model.flat_logp(dims, "plain")
+    fused = nb_model.flat_logp(dims, "fused")
+    np.testing.assert_allclose(
+        float(fused(theta, data)), float(ref(theta, data)), rtol=1e-12
+    )
+
+
+def test_pallas_fused_matches_delta_reference():
+    """The one-pass fused Pallas kernel (value + gradients, delta form,
+    baselines rebuilt from d0 in VMEM) matches the delta-form autodiff path.
+    Kernel computes in float32; tolerances sized accordingly."""
+    from ppcseq_tpu.ops.nb_kernel import make_pallas_fused_likelihood
+
+    data, dims, theta = _baseline_case()
+    ref = nb_model.flat_logp(dims, "plain")
+    fused = lambda th, d: nb_model.log_joint(  # noqa: E731
+        th, d, dims, likelihood_fn=make_pallas_fused_likelihood(32, True)
+    )
+    v0, g0 = jax.value_and_grad(ref)(theta, data)
+    v1, g1 = jax.value_and_grad(fused)(theta, data)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=3e-4)
+    a0, a1 = np.asarray(g0), np.asarray(g1)
+    np.testing.assert_allclose(a1, a0, rtol=2e-3, atol=2e-3 * (1 + np.abs(a0).max()))
+
+
+def test_pallas_fused_requires_baseline():
+    from ppcseq_tpu.ops.nb_kernel import nb_glm_likelihood_fused
+
+    data, dims, alpha, log_phi = _case(S=4, G=16)
+    with pytest.raises(ValueError, match="baseline"):
+        nb_glm_likelihood_fused(data, alpha, log_phi)
+
+
+def test_pallas_fused_respects_mask():
+    from ppcseq_tpu.ops.nb_kernel import nb_glm_likelihood_fused
+
+    data, dims, alpha, log_phi = _case(S=4, G=16, seed=2, exclude_frac=0.0)
+    like = np.asarray(data.like_mask).copy()
+    like[:, 3] = 0.0
+    data = nb_model.ModelData(**{
+        **data.__dict__,
+        "like_mask": jnp.asarray(like, jnp.float64),
+    })
+    data = nb_model.with_baseline(data, dims)
+    ga, gp = jax.grad(
+        lambda a, p: nb_glm_likelihood_fused(data, a, p, 16, True), argnums=(0, 1)
+    )(jnp.asarray(alpha, jnp.float32), jnp.asarray(log_phi, jnp.float32))
+    np.testing.assert_array_equal(np.asarray(ga[:, 3]), 0.0)
+    np.testing.assert_array_equal(np.asarray(gp[3]), 0.0)

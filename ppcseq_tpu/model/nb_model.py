@@ -681,11 +681,6 @@ def make_log_density(data: ModelData, dims: ModelDims, likelihood_fn=None, tree:
     return partial(fn, data=data, dims=dims, likelihood_fn=likelihood_fn)
 
 
-# Above this many genes the Pallas-fused likelihood beats XLA fusion on TPU
-# (measured at 50k x 100: 8.7 vs 5.2 G point-grads/s; at 515 genes XLA wins)
-PALLAS_GENE_THRESHOLD = 8192
-
-
 def _resolve_likelihood_fn(likelihood: str):
     if likelihood == "pallas":
         from ppcseq_tpu.ops.nb_kernel import make_pallas_likelihood

@@ -670,6 +670,87 @@ def fused_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
     )
 
 
+# ---------------------------------------------------------------------------
+# Roofline-optimized likelihood (ops/nb_fast): same math as the stable/delta
+# forms with per-gene/per-data hoisting and subexpression sharing — the
+# custom-VJP forward computes value + closed-form gradients in ONE fused
+# elementwise pass (~3 exp + 1 log per point instead of ~35 transcendentals);
+# the primal (undifferentiated calls) computes the value alone.
+
+
+@jax.custom_vjp
+def _fast_plain(X, exposure, counts, mask, alpha, log_phi):
+    from ppcseq_tpu.ops.nb_fast import glm_plain
+
+    return glm_plain(X, exposure, counts, mask, alpha, log_phi, want_grads=False)
+
+
+def _fast_plain_fwd(X, exposure, counts, mask, alpha, log_phi):
+    from ppcseq_tpu.ops.nb_fast import glm_plain
+
+    out, dalpha, dlogphi = glm_plain(
+        X, exposure, counts, mask, alpha, log_phi, want_grads=True
+    )
+    return out, (dalpha, dlogphi)
+
+
+def _fast_plain_bwd(residuals, g):
+    dalpha, dlogphi = residuals
+    return (None, None, None, None, g * dalpha, g * dlogphi)
+
+
+_fast_plain.defvjp(_fast_plain_fwd, _fast_plain_bwd)
+
+
+@jax.custom_vjp
+def _fast_delta(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    from ppcseq_tpu.ops.nb_fast import glm_delta
+
+    return glm_delta(
+        X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0,
+        y_sp0, alpha, log_phi, want_grads=False,
+    )
+
+
+def _fast_delta_fwd(
+    X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
+    alpha, log_phi,
+):
+    from ppcseq_tpu.ops.nb_fast import glm_delta
+
+    out, dalpha, dlogphi = glm_delta(
+        X, exposure, counts, mask, alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0,
+        y_sp0, alpha, log_phi, want_grads=True,
+    )
+    return out, (dalpha, dlogphi)
+
+
+def _fast_delta_bwd(residuals, g):
+    dalpha, dlogphi = residuals
+    return (None,) * 10 + (g * dalpha, g * dlogphi)
+
+
+_fast_delta.defvjp(_fast_delta_fwd, _fast_delta_bwd)
+
+
+def fast_likelihood(data: ModelData, alpha: jnp.ndarray, log_phi: jnp.ndarray):
+    """Hoisted fused value+gradient likelihood (ops/nb_fast). Drop-in
+    `likelihood_fn`; delta-form when baseline constants are attached.
+    First-order only, like the analytic/fused paths."""
+    if data.d0 is not None:
+        return _fast_delta(
+            data.X, data.exposure_rate, data.counts, data.like_mask,
+            data.alpha0, data.sigma_raw0, data.d0, data.sp_d0,
+            data.sig_neg_d0, data.y_sp0, alpha, log_phi,
+        )
+    return _fast_plain(
+        data.X, data.exposure_rate, data.counts, data.like_mask, alpha, log_phi
+    )
+
+
 def log_joint(theta: jnp.ndarray, data: ModelData, dims: ModelDims, *, likelihood_fn=None):
     """Flat-vector variant of log_joint_tree."""
     return log_joint_tree(theta_to_tree(theta, dims), data, dims, likelihood_fn=likelihood_fn)
@@ -694,17 +775,22 @@ def _resolve_likelihood_fn(likelihood: str):
         return analytic_likelihood
     if likelihood == "fused":
         return fused_likelihood
+    if likelihood == "fast":
+        return fast_likelihood
     return None
 
 
 def _resolve_auto(likelihood: str, dims: ModelDims) -> str:
-    """'auto' -> fastest measured choice per backend/scale: the analytic-VJP
-    likelihood on TPU (scripts/profile_grad.py: beats both plain autodiff and
-    the Pallas kernel at bench scale AND 50k genes), plain autodiff on CPU
-    (tests run there in float64, where autodiff exactness is the baseline)."""
+    """'auto' -> fastest measured choice per backend/scale: the hoisted fused
+    value+gradient likelihood (ops/nb_fast) on TPU — 1.4x (plain) / 1.6x
+    (delta form) faster leapfrogs than the analytic-VJP path at 128 and 512
+    chains (scripts/profile_grad.py, round 4) by eliminating the degenerate
+    convolution lowering of the vmapped design matmul and hoisting per-gene
+    transcendentals off the point grid; plain autodiff on CPU (tests run
+    there in float64, where autodiff exactness is the baseline)."""
     if likelihood != "auto":
         return likelihood
-    return "analytic" if jax.default_backend() == "tpu" else "plain"
+    return "fast" if jax.default_backend() == "tpu" else "plain"
 
 
 @functools.lru_cache(maxsize=64)

@@ -416,3 +416,238 @@ def make_pallas_fused_likelihood(gene_tile=DEFAULT_GENE_TILE, interpret=False):
     return functools.partial(
         nb_glm_likelihood_fused, gene_tile=gene_tile, interpret=interpret
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass kernels on the hoisted nb_fast math: per-gene transcendental
+# tables on the [1, T] rows, per-point work ~3 exp + 1 log, value + both
+# gradients emitted from a single VMEM traversal of each gene tile. These
+# share the exact branch structure of ops.nb_fast.glm_plain/glm_delta (which
+# are their ground truth), so the XLA and Pallas production paths compute
+# bit-comparable densities.
+
+
+def _fast_common(x_ref, counts_ref, mask_ref, alpha, logphi_ref, eta,
+                 val_ref, dalpha_ref, dlogphi_ref, i, delta=None):
+    from ppcseq_tpu.ops import nb_fast
+
+    @pl.when(i == 0)
+    def _():
+        val_ref[0, 0] = jnp.zeros((), val_ref.dtype)
+
+    gt = nb_fast._gene_tables(logphi_ref[:, :], jnp.float32)  # [1, T] rows
+    dt = nb_fast._data_tables(counts_ref[:, :], jnp.float32)
+    mask = mask_ref[:, :]
+
+    if delta is None:
+        d = eta - gt["log_phi_c"]
+        sp_d, sp_nd, em = nb_fast._softplus_pair(d)
+        part1, phi_d = nb_fast._part1_and_digamma(gt, dt, want_grads=True)
+        pts = part1 - gt["phi"] * sp_d - dt["yf"] * sp_nd
+    else:
+        d0, sraw0 = delta
+        dlo = eta - (gt["log_phi_c"] + sraw0)  # eta holds delta_eta here
+        d = d0 + dlo
+        sp_d, sp_nd, em = nb_fast._softplus_pair(d)
+        # baseline constants rebuilt in VMEM from d0 (flops < HBM reads)
+        em0 = jnp.exp(-jnp.abs(d0))
+        l1pem0 = nb_fast._log1p01(em0)
+        sp_d0 = jnp.maximum(d0, 0.0) + l1pem0
+        sig_neg_d0 = jnp.where(d0 > 0, em0 / (1.0 + em0), 1.0 / (1.0 + em0))
+        spn0 = sp_d0 - d0
+        dlo_m = jnp.clip(dlo, -2.0, 8.0)
+        e1 = jnp.where(
+            jnp.abs(dlo_m) < 0.35,
+            dlo_m * (1.0 + dlo_m * (0.5 + dlo_m * (1.0 / 6.0 + dlo_m * (1.0 / 24.0
+                + dlo_m * (1.0 / 120.0 + dlo_m * (1.0 / 720.0 + dlo_m / 5040.0)))))),
+            jnp.exp(dlo_m) - 1.0,
+        )
+        e1_neg = -e1 / (1.0 + e1)
+        arg_p = (1.0 - sig_neg_d0) * e1
+        arg_n = sig_neg_d0 * e1_neg
+        sp_d_mid = sp_d0 + nb_fast._log1p_wide(arg_p, jnp.log(1.0 + arg_p))
+        inc_neg_mid = nb_fast._log1p_wide(arg_n, jnp.log(1.0 + arg_n))
+        phi_sp_far = jnp.where(
+            d < -25.0,
+            jnp.exp(jnp.clip(gt["log_phi_c"] + d, -60.0, 60.0)),
+            gt["phi"] * sp_d,
+        )
+        mid = (dlo > -2.0) & (dlo < 8.0)
+        phi_sp = jnp.where(mid, gt["phi"] * sp_d_mid, phi_sp_far)
+        inc_neg = jnp.where(mid, inc_neg_mid, sp_nd - spn0)
+        part1, phi_d = nb_fast._part1_and_digamma(gt, dt, want_grads=True)
+        pts = part1 - phi_sp - dt["yf"] * (inc_neg + spn0)
+
+    val_ref[0, 0] += jnp.sum(mask * pts)
+
+    deta, dlogphi = nb_fast._grads_from_d(
+        gt, dt, d, sp_d, sp_nd, em, phi_d, logphi_ref[:, :]
+    )
+    deta = mask * deta
+    dalpha_ref[:, :] = jnp.dot(
+        x_ref[:, :].T, deta, preferred_element_type=jnp.float32, precision="highest"
+    )
+    dlogphi_ref[:, :] = jnp.sum(mask * dlogphi, axis=0, keepdims=True)
+
+
+def _fastk_plain(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref,
+                 val_ref, dalpha_ref, dlogphi_ref):
+    i = pl.program_id(0)
+    C = x_ref.shape[1]
+    eta = jnp.broadcast_to(expo_ref[:, :], (x_ref.shape[0], alpha_ref.shape[1]))
+    for c in range(C):
+        eta = eta + x_ref[:, c:c + 1] * alpha_ref[c:c + 1, :]
+    _fast_common(x_ref, counts_ref, mask_ref, alpha_ref, logphi_ref, eta,
+                 val_ref, dalpha_ref, dlogphi_ref, i)
+
+
+def _fastk_delta(x_ref, counts_ref, mask_ref, d0_ref, alpha_ref, alpha0_ref,
+                 logphi_ref, sraw0_ref, val_ref, dalpha_ref, dlogphi_ref):
+    i = pl.program_id(0)
+    C = x_ref.shape[1]
+    da = alpha_ref[:, :] - alpha0_ref[:, :]
+    delta_eta = jnp.zeros((x_ref.shape[0], alpha_ref.shape[1]), jnp.float32)
+    for c in range(C):
+        delta_eta = delta_eta + x_ref[:, c:c + 1] * da[c:c + 1, :]
+    _fast_common(x_ref, counts_ref, mask_ref, alpha_ref, logphi_ref, delta_eta,
+                 val_ref, dalpha_ref, dlogphi_ref, i,
+                 delta=(d0_ref[:, :], sraw0_ref[:, :]))
+
+
+def _fastk_plain_call(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret):
+    S, C = X.shape
+    G = alpha.shape[1]
+    args, in_specs, grid, T, G_pad = _prep(X, alpha, log_phi, exposure, counts, mask, gene_tile)
+    val, dalpha, dlogphi = pl.pallas_call(
+        _fastk_plain,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, G_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, G_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return val[0, 0], dalpha[:, :G], dlogphi[0, :G]
+
+
+def _fastk_delta_call(X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+                      gene_tile, interpret):
+    S, C = X.shape
+    G = alpha.shape[1]
+    T = min(gene_tile, G)
+    G_pad = -(-G // T) * T
+    args = (
+        X.astype(jnp.float32),
+        _pad_axis(counts, 1, G_pad),
+        _pad_axis(mask, 1, G_pad).astype(jnp.float32),
+        _pad_axis(d0, 1, G_pad).astype(jnp.float32),
+        _pad_axis(alpha, 1, G_pad).astype(jnp.float32),
+        _pad_axis(alpha0, 1, G_pad).astype(jnp.float32),
+        _pad_axis(log_phi.reshape(1, -1), 1, G_pad).astype(jnp.float32),
+        _pad_axis(sigma_raw0.reshape(1, -1), 1, G_pad).astype(jnp.float32),
+    )
+    in_specs = [
+        pl.BlockSpec((S, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+    ]
+    val, dalpha, dlogphi = pl.pallas_call(
+        _fastk_delta,
+        grid=(G_pad // T,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((C, G_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, G_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return val[0, 0], dalpha[:, :G], dlogphi[0, :G]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _fastk_plain_loglik(X, alpha, log_phi, exposure, counts, mask,
+                        gene_tile=DEFAULT_GENE_TILE, interpret=False):
+    val, _, _ = _fastk_plain_call(
+        X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret
+    )
+    return val
+
+
+def _fastk_plain_vjp_fwd(X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret):
+    val, dalpha, dlogphi = _fastk_plain_call(
+        X, alpha, log_phi, exposure, counts, mask, gene_tile, interpret
+    )
+    return val, (dalpha.astype(alpha.dtype), dlogphi.astype(log_phi.dtype))
+
+
+def _fastk_plain_vjp_bwd(gene_tile, interpret, residuals, g):
+    dalpha, dlogphi = residuals
+    return (None, g * dalpha, g * dlogphi, None, None, None)
+
+
+_fastk_plain_loglik.defvjp(_fastk_plain_vjp_fwd, _fastk_plain_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _fastk_delta_loglik(X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0,
+                        gene_tile=DEFAULT_GENE_TILE, interpret=False):
+    val, _, _ = _fastk_delta_call(
+        X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0, gene_tile, interpret
+    )
+    return val
+
+
+def _fastk_delta_vjp_fwd(X, alpha, log_phi, counts, mask, alpha0, sigma_raw0,
+                         d0, gene_tile, interpret):
+    val, dalpha, dlogphi = _fastk_delta_call(
+        X, alpha, log_phi, counts, mask, alpha0, sigma_raw0, d0, gene_tile, interpret
+    )
+    return val, (dalpha.astype(alpha.dtype), dlogphi.astype(log_phi.dtype))
+
+
+def _fastk_delta_vjp_bwd(gene_tile, interpret, residuals, g):
+    dalpha, dlogphi = residuals
+    return (None, g * dalpha, g * dlogphi, None, None, None, None, None)
+
+
+_fastk_delta_loglik.defvjp(_fastk_delta_vjp_fwd, _fastk_delta_vjp_bwd)
+
+
+def nb_glm_likelihood_fast(data, alpha, log_phi, gene_tile=DEFAULT_GENE_TILE,
+                           interpret=False):
+    """One-pass Pallas kernel on the hoisted nb_fast math: value + analytic
+    gradients from a single VMEM traversal. Drop-in `likelihood_fn`
+    (delta-form when baseline constants are attached); first-order only."""
+    if data.d0 is not None:
+        return _fastk_delta_loglik(
+            data.X, alpha, log_phi, data.counts, data.like_mask,
+            data.alpha0, data.sigma_raw0, data.d0, gene_tile, interpret,
+        )
+    return _fastk_plain_loglik(
+        data.X, alpha, log_phi, data.exposure_rate, data.counts,
+        data.like_mask, gene_tile, interpret,
+    )
+
+
+def make_pallas_fast_likelihood(gene_tile=DEFAULT_GENE_TILE, interpret=False):
+    return functools.partial(
+        nb_glm_likelihood_fast, gene_tile=gene_tile, interpret=interpret
+    )

@@ -6,6 +6,9 @@ model (counts 15-gene + 500 controls) for each likelihood implementation:
 - delta:     delta-form forward, autodiff backward       (round-2 default)
 - analytic:  same forwards, closed-form custom-VJP backward (ops/nb_grad)
 - pallas:    fused Pallas forward + analytic Pallas backward
+- fast:      hoisted one-pass value+gradient (ops/nb_fast) — round-4 winner
+- pallas-fast: the same math as one Pallas kernel (loses: vmap batches
+  chains into outer grid steps with tiny blocks)
 
 The winner becomes nb_model._resolve_auto's TPU choice.
 """
@@ -65,6 +68,8 @@ def main():
         ("plain-analytic ", nb_model.flat_logp(dims, "analytic"), data),
         ("delta-analytic ", nb_model.flat_logp(dims, "analytic"), data_base),
         ("delta-fusedXLA ", nb_model.flat_logp(dims, "fused"), data_base),
+        ("plain-fast     ", nb_model.flat_logp(dims, "fast"), data),
+        ("delta-fast     ", nb_model.flat_logp(dims, "fast"), data_base),
     ]
 
     def pallas_logp(theta, data):
@@ -83,6 +88,16 @@ def main():
         )
 
     variants.append(("pallas-fused   ", pallas_fused_logp, data_base))
+
+    from ppcseq_tpu.ops.nb_kernel import make_pallas_fast_likelihood
+
+    def pallas_fast_logp(theta, data):
+        return nb_model.log_joint(
+            theta, data, dims,
+            likelihood_fn=make_pallas_fast_likelihood(gene_tile=512),
+        )
+
+    variants.append(("pallas-fast    ", pallas_fast_logp, data_base))
 
     for chains in (128, 512):
         print(f"--- chains={chains} ---")

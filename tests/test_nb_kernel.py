@@ -207,3 +207,47 @@ def test_pallas_fused_respects_mask():
     )(jnp.asarray(alpha, jnp.float32), jnp.asarray(log_phi, jnp.float32))
     np.testing.assert_array_equal(np.asarray(ga[:, 3]), 0.0)
     np.testing.assert_array_equal(np.asarray(gp[3]), 0.0)
+
+
+def test_pallas_fast_kernel_matches_nb_fast_both_forms():
+    """The one-pass nb_fast-math kernel == the XLA fast path (value + grad),
+    plain and delta forms, including unaligned gene tiles and masking."""
+    from ppcseq_tpu.ops.nb_kernel import nb_glm_likelihood_fast
+
+    data, dims, alpha, log_phi = _case(G=300, seed=5)
+    a32 = jnp.asarray(alpha, jnp.float32)
+    l32 = jnp.asarray(log_phi, jnp.float32)
+
+    def to_f32(d):
+        import dataclasses
+        return dataclasses.replace(
+            d,
+            X=d.X.astype(jnp.float32),
+            exposure_rate=d.exposure_rate.astype(jnp.float32),
+            like_mask=d.like_mask.astype(jnp.float32),
+            gene_mask=d.gene_mask.astype(jnp.float32),
+            **{
+                f: getattr(d, f).astype(jnp.float32)
+                for f in ("alpha0", "sigma_raw0", "d0", "sp_d0", "sig_neg_d0", "y_sp0")
+                if getattr(d, f) is not None
+            },
+        )
+
+    for tag, d in (
+        ("plain", to_f32(data)),
+        ("delta", to_f32(nb_model.with_baseline(data, dims))),
+    ):
+        v_k = nb_glm_likelihood_fast(d, a32, l32, gene_tile=128, interpret=True)
+        v_x = nb_model.fast_likelihood(d, a32, l32)
+        np.testing.assert_allclose(float(v_k), float(v_x), rtol=2e-5, err_msg=tag)
+        g_k = jax.grad(
+            lambda a, p: nb_glm_likelihood_fast(d, a, p, gene_tile=128, interpret=True),
+            (0, 1),
+        )(a32, l32)
+        g_x = jax.grad(lambda a, p: nb_model.fast_likelihood(d, a, p), (0, 1))(a32, l32)
+        for gk, gx in zip(g_k, g_x):
+            scale = 1.0 + np.abs(np.asarray(gx, np.float64))
+            assert (
+                np.abs(np.asarray(gk, np.float64) - np.asarray(gx, np.float64)) / scale
+                < 1e-4
+            ).all(), tag

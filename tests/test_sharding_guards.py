@@ -92,3 +92,34 @@ def test_gene_sharded_hmc_runner_compiles_fast(sharded_setup):
     elapsed = time.time() - t0
     assert elapsed < 120.0, f"tree-HMC compile+run took {elapsed:.1f}s"
     assert np.isfinite(np.asarray(res.draws["alpha_sub_1"])).all()
+
+
+def test_gene_sharded_fast_likelihood_collectives_and_value(sharded_setup):
+    """The TPU production likelihood ('fast', ops/nb_fast) under the genes
+    mesh: same single-all-reduce contract as 'plain', and identical value +
+    gradient (the sharded program must not change the math). Pinned here
+    because CPU tests resolve 'auto' to 'plain' — without this case the
+    fast+sharded combination would first meet GSPMD on real multi-chip."""
+    mesh, data_sh, dims, init = sharded_setup
+    logp_fast = nb_model.tree_logp(dims, likelihood="fast")
+    logp_plain = nb_model.tree_logp(dims, likelihood="plain")
+    f = jax.jit(jax.value_and_grad(lambda t: logp_fast(t, data_sh)))
+
+    t0 = time.time()
+    compiled = f.lower(init).compile()
+    elapsed = time.time() - t0
+    assert elapsed < 60.0, f"GSPMD partition+compile took {elapsed:.1f}s"
+
+    counts = _collective_counts(compiled.as_text())
+    assert counts["all_reduce"] == 1, counts
+    assert counts["all_gather"] == 0, counts
+    assert counts["permute"] <= 30, counts
+
+    v_f, g_f = f(init)
+    v_p, g_p = jax.jit(jax.value_and_grad(lambda t: logp_plain(t, data_sh)))(init)
+    np.testing.assert_allclose(float(v_f), float(v_p), rtol=2e-5)
+    for k in g_p:
+        np.testing.assert_allclose(
+            np.asarray(g_f[k]), np.asarray(g_p[k]), rtol=2e-3, atol=2e-3,
+            err_msg=k,
+        )

@@ -89,9 +89,11 @@ def main():
 
     # Draw budget of the reference's pFP=1% detrimental run:
     # thr2 = 0.01/21*2, draws = 10/thr2 = 10500 (R/methods.R:155-167).
-    # Config picked by the committed sweep (SWEEP_HMC_r3.json): L=48 mixes
-    # ~4x better than L=32 (min-ESS 8000 vs 1200-4400 of 10624 draws, rhat
-    # 1.011 vs 1.03-1.07) at ~20% lower raw draws/s — the best min-ESS/s.
+    # Config picked by the committed sweeps (SWEEP_HMC_r3.json; re-confirmed
+    # under the round-4 'fast' likelihood in SWEEP_HMC_r4.json): L=48 mixes
+    # ~4x better than L=32, and 128 chains/warmup 60 holds the best rhat —
+    # larger chain batches raise raw chain-leapfrogs/s but lose on warmup
+    # amortization and mixing.
     num_chains = 128
     num_warmup = 60  # ADVI warm start supplies init + mass matrix
     per_chain = 83  # 128 * 83 = 10624 >= 10500

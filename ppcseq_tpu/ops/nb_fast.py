@@ -333,6 +333,41 @@ def glm_plain(X, exposure, counts, mask, alpha, log_phi, want_grads):
     return value, dalpha, jnp.sum(mask * dlogphi, axis=0)
 
 
+def delta_increment_terms(gt, dlo, d, sp_d, sp_nd, d0, sp_d0, sig_neg_d0):
+    """Hybrid delta-form softplus increments -> (phi_sp, inc_neg).
+
+    phi_sp = phi*softplus(d) and inc_neg = softplus(-d) - softplus(-d0),
+    evaluated as exact increments from the baseline near it (float32-smooth)
+    and by the direct stable forms far from it (nb_model.delta_likelihood
+    semantics, incl. the Poisson-limit log-space branch below d = -25).
+    Shared by glm_delta and the Pallas kernels (ops/nb_kernel._fast_common)
+    so the branch thresholds live in ONE place.
+    """
+    sig_d0 = 1.0 - sig_neg_d0
+    dlo_m = jnp.clip(dlo, -2.0, 8.0)
+    e1 = jnp.where(
+        jnp.abs(dlo_m) < 0.35,
+        dlo_m * (1.0 + dlo_m * (0.5 + dlo_m * (1.0 / 6.0 + dlo_m * (1.0 / 24.0
+            + dlo_m * (1.0 / 120.0 + dlo_m * (1.0 / 720.0 + dlo_m / 5040.0)))))),
+        jnp.exp(dlo_m) - 1.0,
+    )
+    e1_neg = -e1 / (1.0 + e1)  # expm1(-dlo_m), exact identity
+    arg_p = sig_d0 * e1
+    arg_n = sig_neg_d0 * e1_neg
+    sp_d_mid = sp_d0 + _log1p_wide(arg_p, jnp.log(1.0 + arg_p))
+    inc_neg_mid = _log1p_wide(arg_n, jnp.log(1.0 + arg_n))
+    phi_sp_far = jnp.where(
+        d < -25.0,
+        jnp.exp(jnp.clip(gt["log_phi_c"] + d, -60.0, 60.0)),
+        gt["phi"] * sp_d,
+    )
+    spn0 = sp_d0 - d0  # softplus(-d0)
+    mid = (dlo > -2.0) & (dlo < 8.0)
+    phi_sp = jnp.where(mid, gt["phi"] * sp_d_mid, phi_sp_far)
+    inc_neg = jnp.where(mid, inc_neg_mid, sp_nd - spn0)
+    return phi_sp, inc_neg
+
+
 def glm_delta(
     X, exposure, counts, mask,
     alpha0, sigma_raw0, d0, sp_d0, sig_neg_d0, y_sp0,
@@ -353,37 +388,10 @@ def glm_delta(
     dlo = delta_eta - delta_log_phi[None, :]
     d = d0 + dlo
     sp_d, sp_nd, em = _softplus_pair(d)
-    phi = gt["phi"][None, :]
-    sig_d0 = 1.0 - sig_neg_d0
-
-    # near-baseline branch: exact increment identities (one expm1 shared)
-    dlo_m = jnp.clip(dlo, -2.0, 8.0)
-    e1 = jnp.where(
-        jnp.abs(dlo_m) < 0.35,
-        dlo_m * (1.0 + dlo_m * (0.5 + dlo_m * (1.0 / 6.0 + dlo_m * (1.0 / 24.0
-            + dlo_m * (1.0 / 120.0 + dlo_m * (1.0 / 720.0 + dlo_m / 5040.0)))))),
-        jnp.exp(dlo_m) - 1.0,
+    gt_b = dict(gt, log_phi_c=gt["log_phi_c"][None, :], phi=gt["phi"][None, :])
+    phi_sp, inc_neg = delta_increment_terms(
+        gt_b, dlo, d, sp_d, sp_nd, d0, sp_d0, sig_neg_d0
     )
-    e1_neg = -e1 / (1.0 + e1)  # expm1(-dlo_m), exact identity
-    arg_p = sig_d0 * e1
-    arg_n = sig_neg_d0 * e1_neg
-    sp_d_mid = sp_d0 + _log1p_wide(arg_p, jnp.log(1.0 + arg_p))
-    inc_neg_mid = _log1p_wide(arg_n, jnp.log(1.0 + arg_n))
-    phi_sp_mid = phi * sp_d_mid
-
-    # far branch: direct stable evaluation (shares the gradient's softplus);
-    # Poisson-limit log-space form below d = -25
-    phi_sp_far = jnp.where(
-        d < -25.0,
-        jnp.exp(jnp.clip(gt["log_phi_c"][None, :] + d, -60.0, 60.0)),
-        phi * sp_d,
-    )
-    spn0 = sp_d0 - d0  # softplus(-d0)
-    inc_neg_far = sp_nd - spn0
-
-    mid = (dlo > -2.0) & (dlo < 8.0)
-    phi_sp = jnp.where(mid, phi_sp_mid, phi_sp_far)
-    inc_neg = jnp.where(mid, inc_neg_mid, inc_neg_far)
 
     part1, phi_d = _part1_and_digamma(gt, dt, want_grads)
     pts = part1 - phi_sp - dt["yf"] * inc_neg - y_sp0

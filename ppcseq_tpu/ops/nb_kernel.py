@@ -455,26 +455,9 @@ def _fast_common(x_ref, counts_ref, mask_ref, alpha, logphi_ref, eta,
         sp_d0 = jnp.maximum(d0, 0.0) + l1pem0
         sig_neg_d0 = jnp.where(d0 > 0, em0 / (1.0 + em0), 1.0 / (1.0 + em0))
         spn0 = sp_d0 - d0
-        dlo_m = jnp.clip(dlo, -2.0, 8.0)
-        e1 = jnp.where(
-            jnp.abs(dlo_m) < 0.35,
-            dlo_m * (1.0 + dlo_m * (0.5 + dlo_m * (1.0 / 6.0 + dlo_m * (1.0 / 24.0
-                + dlo_m * (1.0 / 120.0 + dlo_m * (1.0 / 720.0 + dlo_m / 5040.0)))))),
-            jnp.exp(dlo_m) - 1.0,
+        phi_sp, inc_neg = nb_fast.delta_increment_terms(
+            gt, dlo, d, sp_d, sp_nd, d0, sp_d0, sig_neg_d0
         )
-        e1_neg = -e1 / (1.0 + e1)
-        arg_p = (1.0 - sig_neg_d0) * e1
-        arg_n = sig_neg_d0 * e1_neg
-        sp_d_mid = sp_d0 + nb_fast._log1p_wide(arg_p, jnp.log(1.0 + arg_p))
-        inc_neg_mid = nb_fast._log1p_wide(arg_n, jnp.log(1.0 + arg_n))
-        phi_sp_far = jnp.where(
-            d < -25.0,
-            jnp.exp(jnp.clip(gt["log_phi_c"] + d, -60.0, 60.0)),
-            gt["phi"] * sp_d,
-        )
-        mid = (dlo > -2.0) & (dlo < 8.0)
-        phi_sp = jnp.where(mid, gt["phi"] * sp_d_mid, phi_sp_far)
-        inc_neg = jnp.where(mid, inc_neg_mid, sp_nd - spn0)
         part1, phi_d = nb_fast._part1_and_digamma(gt, dt, want_grads=True)
         pts = part1 - phi_sp - dt["yf"] * (inc_neg + spn0)
 
@@ -635,7 +618,14 @@ def nb_glm_likelihood_fast(data, alpha, log_phi, gene_tile=DEFAULT_GENE_TILE,
                            interpret=False):
     """One-pass Pallas kernel on the hoisted nb_fast math: value + analytic
     gradients from a single VMEM traversal. Drop-in `likelihood_fn`
-    (delta-form when baseline constants are attached); first-order only."""
+    (delta-form when baseline constants are attached); first-order only.
+
+    Test fixture, not production (docs/ARCHITECTURE.md §4): XLA's 'fast'
+    path wins because vmap over pallas_call batches chains into outer grid
+    steps. Note the primal (value-only) call still runs the full
+    value+gradient kernel and discards the gradients — XLA cannot DCE inside
+    an opaque pallas_call — so value-only evaluations pay the gradient cost
+    here, unlike the XLA paths whose primal computes the value alone."""
     if data.d0 is not None:
         return _fastk_delta_loglik(
             data.X, alpha, log_phi, data.counts, data.like_mask,

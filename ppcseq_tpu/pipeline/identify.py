@@ -124,11 +124,29 @@ def do_inference(
         raise ValueError(
             f"mesh axes {mesh.axis_names} unknown: name them 'genes' and/or 'chains'"
         )
+    if mesh_chains and not mesh_genes and approximate_posterior_inference:
+        import warnings
+
+        warnings.warn(
+            "mesh with a 'chains' axis has no effect on the variational fit "
+            "(it is a single small optimization): the fits will run on one "
+            "device. Use a 'genes' axis to shard VB, or "
+            "approximate_posterior_inference=False for chain-sharded MCMC.",
+            stacklevel=3,
+        )
     pad_to = None
     if mesh_genes:
+        from ppcseq_tpu.parallel.sharding import pad_genes
+
         n_shards = mesh.shape["genes"]
         g_real = md.counts.shape[1]
-        pad_to = -(-g_real // n_shards) * n_shards
+        # Lane-aligned padding (whole 128-lane VPU tiles per shard) makes
+        # every [S, G] hot-op pass full-width on real TPUs; only pay the
+        # dummy-gene cost when it is modest, else fall back to the minimal
+        # shard-even padding (small cohorts on wide meshes).
+        even = -(-g_real // n_shards) * n_shards
+        lane = pad_genes(g_real, mesh)
+        pad_to = lane if lane <= 1.15 * even else even
     # Centered parametrization by default: with ~20 informative samples per
     # gene the centered geometry mixes better (51 vs 383 leapfrogs/draw on
     # the bundled data); the non-centered option in nb_model remains for
@@ -509,11 +527,16 @@ def _do_inference_gene_sharded(
             from ppcseq_tpu.infer.nuts import run_nuts as _run_nuts
 
             chains = 4
+            if "chains" in mesh.axis_names:
+                # like the HMC branch: the chain batch must divide across
+                # the chain shards
+                n_dev = mesh.shape["chains"]
+                chains = -(-chains // n_dev) * n_dev
             per_chain = int(np.ceil(draws_practical / chains))
             res = _run_nuts(
                 logp, proto_sh, k_fit, data=data_sh,
                 num_chains=chains, num_warmup=K.MCMC_WARMUP,
-                num_draws=per_chain, init_theta=init_sh,
+                num_draws=per_chain, init_theta=warm.mean,
                 inv_mass_init=inv_mass, dtype=dtype,
             )
             fit_info.update(
@@ -723,9 +746,17 @@ def identify_outliers(
     # ---- PASS 1: discovery (R/methods.R:268-286) -------------------------
     from ppcseq_tpu.utils import checkpoint as ckpt
 
+    # mesh and dtype change the computation (gene padding, chain counts,
+    # sharded executables; f32 vs f64 densities) — they must invalidate
+    # checkpoints like any other config change
+    mesh_desc = (
+        None if mesh is None
+        else tuple((a, int(mesh.shape[a])) for a in mesh.axis_names)
+    )
     base_cfg = dict(
         formula=formula, approx_inf=approximate_posterior_inference,
         seed=seed, sampler=mcmc_sampler,
+        mesh=mesh_desc, dtype=str(jnp.dtype(dtype)),
     )
     fp1 = ckpt.config_fingerprint(
         my_df, which="pass1", thr=adj_prob_theshold_1,

@@ -58,3 +58,28 @@ def test_checkpoint_invalidated_by_config_change(tiny_counts, tmp_path):
     with open(os.path.join(ckpt, "meta.json")) as f:
         fp_after = json.load(f)["pass1"]["fingerprint"]
     assert fp_before != fp_after
+
+
+def test_checkpoint_invalidated_by_mesh_and_dtype(tiny_counts, tmp_path):
+    """mesh and dtype change the computation (gene padding, sharded
+    executables, f32 vs f64 densities) — a rerun with either changed must
+    NOT resume the cached tables (round-4 review finding)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    ckpt = str(tmp_path / "ck3")
+    identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        fp_plain = json.load(f)["pass1"]["fingerprint"]
+
+    mesh = Mesh(np.array(jax.devices()), ("genes",))
+    identify_outliers(tiny_counts, checkpoint_dir=ckpt, mesh=mesh, **_ARGS)
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        fp_mesh = json.load(f)["pass1"]["fingerprint"]
+    assert fp_mesh != fp_plain
+
+    identify_outliers(tiny_counts, checkpoint_dir=ckpt, dtype=jnp.float64, **_ARGS)
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        fp_f64 = json.load(f)["pass1"]["fingerprint"]
+    assert fp_f64 not in (fp_plain, fp_mesh)

@@ -88,3 +88,16 @@ def test_gene_sharded_hmc_pipeline_synthetic():
     # draws really are a gene-sharded pytree
     draws = res.attrs["fit 2"].draws
     assert "genes" in str(draws["intercept"].sharding.spec)
+
+
+def test_chains_mesh_with_vb_warns(sig_counts):
+    """A chains-only mesh cannot shard the variational fit — the pipeline
+    must say so instead of silently running single-device (round-4 review
+    finding; the tutorial's mesh example uses VB defaults)."""
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    with pytest.warns(UserWarning, match="chains.*variational|variational.*chains"):
+        res = identify_outliers(
+            sig_counts, approximate_posterior_inference=True, mesh=mesh, **_COMMON
+        )
+    calls = dict(zip(res.symbol, res.tot_deleterious_outliers))
+    assert calls == {"SLC16A12": 0, "CYP1A1": 1, "ART3": 0}

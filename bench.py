@@ -95,7 +95,11 @@ def main():
     # larger chain batches raise raw chain-leapfrogs/s but lose on warmup
     # amortization and mixing.
     num_chains = 128
-    num_warmup = 60  # ADVI warm start supplies init + mass matrix
+    # ADVI warm start supplies init + mass matrix; with it, 30 dual-averaging
+    # iterations tune the step size fully (SWEEP_HMC_r4.json warmup sweep:
+    # rhat <= 1.019, ESS >= 4900, 0 divergences over 6 seeds — matching
+    # warmup-60 quality at ~17% more draws/s)
+    num_warmup = 30
     per_chain = 83  # 128 * 83 = 10624 >= 10500
     num_leapfrog = 48
     total_draws = num_chains * per_chain

@@ -146,9 +146,44 @@ def test_chain_sharded_hmc(tiny):
 
 
 def test_graft_entry_dryrun():
+    """entry() in-process; dryrun_multichip(8) in a FRESH subprocess.
+
+    The dryrun runs the full GSPMD-partitioned pipeline on the 8-virtual-
+    device mesh; executed in-process after ~115 other tests, the XLA CPU
+    runtime intermittently aborts natively (observed twice at the same
+    block_until_ready, never when fresh). The driver invokes the dryrun in
+    its own process anyway, so a subprocess mirrors the real contract AND
+    removes the suite-state dependence.
+    """
+    import os
+    import subprocess
+    import sys
+
     import __graft_entry__ as ge
 
     fn, args = ge.entry()
     lp, grad = jax.jit(fn)(*args)
     assert np.isfinite(float(lp))
-    ge.dryrun_multichip(8)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8",
+    )
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax; jax.config.update('jax_platforms', 'cpu');"
+            "import __graft_entry__ as ge; ge.dryrun_multichip(8)",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"dryrun failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "dryrun_multichip OK" in proc.stdout

@@ -52,11 +52,55 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact CI extraction instead of the approximated path")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--mesh", default=None, metavar="AXES",
+                   help="multi-device mesh spec, e.g. 'genes=4' or "
+                        "'chains=2,genes=4': both passes' fits run sharded "
+                        "over that many devices (reference cores= analog, "
+                        "R/methods.R:92 — but devices, not processes). "
+                        "Axis names: 'genes' (gene-data-parallel model "
+                        "state) and/or 'chains' (device-sharded MCMC chain "
+                        "batch). The axis product must not exceed "
+                        "len(jax.devices())")
     p.add_argument("--checkpoint-dir", default=None,
                    help="persist per-pass fits; a rerun with identical config resumes")
     p.add_argument("--plots", action="store_true", help="write per-transcript CI plots")
     p.add_argument("--json", action="store_true", help="print the summary as JSON to stdout")
     return p
+
+
+def parse_mesh_spec(spec: str | None):
+    """'genes=4' / 'chains=2,genes=4' -> jax.sharding.Mesh over jax.devices().
+
+    Axis order follows the spec; names must be 'genes'/'chains' (the layouts
+    `identify_outliers(mesh=)` understands, pipeline/identify.py).
+    """
+    if spec is None:
+        return None
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    axes: dict[str, int] = {}
+    for part in spec.split(","):
+        name, _, count = part.partition("=")
+        name = name.strip()
+        if name not in ("genes", "chains") or not count.strip().isdigit():
+            raise SystemExit(
+                f"--mesh: bad axis {part!r} (want e.g. 'genes=4' or 'chains=2,genes=4')"
+            )
+        if name in axes:
+            raise SystemExit(f"--mesh: duplicate axis {name!r}")
+        axes[name] = int(count)
+    n = int(np.prod(list(axes.values())))
+    devices = jax.devices()
+    if n > len(devices):
+        raise SystemExit(
+            f"--mesh: {n} devices requested ({spec}) but only {len(devices)} available"
+        )
+    return Mesh(
+        np.array(devices[:n]).reshape(tuple(axes.values())), tuple(axes.keys())
+    )
 
 
 def _read_table(path: str):
@@ -97,6 +141,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         cores=args.cores,
         checkpoint_dir=args.checkpoint_dir,
+        mesh=parse_mesh_spec(args.mesh),
     )
 
     os.makedirs(args.output, exist_ok=True)

@@ -488,6 +488,7 @@ def run_nuts(
     init_jitter: float = 0.1,
     inv_mass_init=None,
     mesh=None,
+    dims=None,
     dtype=jnp.float32,
 ) -> NUTSResult:
     """Run vectorized multi-chain NUTS; returns post-warmup draws.
@@ -524,7 +525,29 @@ def run_nuts(
         else jax.tree.map(jnp.ones_like, proto)
     )
 
-    if mesh is not None:
+    if mesh is not None and dims is not None and isinstance(proto, dict):
+        # gene-sharded (optionally 2-D chain x gene) NUTS over a pytree
+        # state — the map_rect analog (stan:226-240) at sampler granularity:
+        # per-gene leaves/data shard over the `genes` axis and the chain
+        # batch shards over a `chains` axis when the mesh names one (same
+        # layout contract as run_hmc_tree, parallel/sharding.py).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ppcseq_tpu.parallel.sharding import (
+            param_shardings,
+            shard_data,
+            shard_params,
+        )
+
+        chain_ax = "chains" if "chains" in mesh.axis_names else True
+        state_sh = param_shardings(mesh, dims, chain_axis=chain_ax)
+        z0 = {k: jax.device_put(v, state_sh[k]) for k, v in z0.items()}
+        mass0 = shard_params(mass0, mesh, dims)
+        key_sh = NamedSharding(mesh, P("chains") if chain_ax == "chains" else P())
+        chain_keys = jax.device_put(chain_keys, key_sh)
+        if data is not None:
+            data = shard_data(data, mesh)
+    elif mesh is not None:
         # chain-sharded NUTS (mesh must name a "chains" axis): the vmapped
         # chain batch is split across devices, data/mass replicated — the
         # TPU analog of the reference's chain-per-process parallelism

@@ -427,7 +427,7 @@ def make_pallas_fused_likelihood(gene_tile=DEFAULT_GENE_TILE, interpret=False):
 # bit-comparable densities.
 
 
-def _fast_common(x_ref, counts_ref, mask_ref, alpha, logphi_ref, eta,
+def _fast_common(x_ref, counts_ref, mask_ref, logphi_ref, eta,
                  val_ref, dalpha_ref, dlogphi_ref, i, delta=None):
     from ppcseq_tpu.ops import nb_fast
 
@@ -480,7 +480,7 @@ def _fastk_plain(x_ref, expo_ref, counts_ref, alpha_ref, logphi_ref, mask_ref,
     eta = jnp.broadcast_to(expo_ref[:, :], (x_ref.shape[0], alpha_ref.shape[1]))
     for c in range(C):
         eta = eta + x_ref[:, c:c + 1] * alpha_ref[c:c + 1, :]
-    _fast_common(x_ref, counts_ref, mask_ref, alpha_ref, logphi_ref, eta,
+    _fast_common(x_ref, counts_ref, mask_ref, logphi_ref, eta,
                  val_ref, dalpha_ref, dlogphi_ref, i)
 
 
@@ -492,7 +492,7 @@ def _fastk_delta(x_ref, counts_ref, mask_ref, d0_ref, alpha_ref, alpha0_ref,
     delta_eta = jnp.zeros((x_ref.shape[0], alpha_ref.shape[1]), jnp.float32)
     for c in range(C):
         delta_eta = delta_eta + x_ref[:, c:c + 1] * da[c:c + 1, :]
-    _fast_common(x_ref, counts_ref, mask_ref, alpha_ref, logphi_ref, delta_eta,
+    _fast_common(x_ref, counts_ref, mask_ref, logphi_ref, delta_eta,
                  val_ref, dalpha_ref, dlogphi_ref, i,
                  delta=(d0_ref[:, :], sraw0_ref[:, :]))
 

@@ -537,7 +537,8 @@ def _do_inference_gene_sharded(
                 logp, proto_sh, k_fit, data=data_sh,
                 num_chains=chains, num_warmup=K.MCMC_WARMUP,
                 num_draws=per_chain, init_theta=warm.mean,
-                inv_mass_init=inv_mass, dtype=dtype,
+                inv_mass_init=inv_mass,
+                mesh=mesh, dims=dims, dtype=dtype,
             )
             fit_info.update(
                 method="nuts", chains=chains,
@@ -758,13 +759,24 @@ def identify_outliers(
         seed=seed, sampler=mcmc_sampler,
         mesh=mesh_desc, dtype=str(jnp.dtype(dtype)),
     )
+    # resume is only sound when no unserialized outputs were requested —
+    # same guard as pass 2 below: a pass-1 checkpoint stores the table (and
+    # total_draws) but not the fit object, so with `pass_fit` requested a
+    # resume would silently hand back `fit 1 = None`
+    resumable1 = not pass_fit
     fp1 = ckpt.config_fingerprint(
         my_df, which="pass1", thr=adj_prob_theshold_1,
         draws=how_many_posterior_draws_1, **base_cfg,
-    ) if checkpoint_dir else ""
-    table1 = ckpt.load_pass(checkpoint_dir, "pass1", fp1)
+    ) if (checkpoint_dir and resumable1) else ""
+    table1 = ckpt.load_pass(checkpoint_dir, "pass1", fp1) if resumable1 else None
     if table1 is not None:
-        res_discovery = InferenceResult(table=table1, total_draws=0)
+        import json as _json
+
+        with open(os.path.join(checkpoint_dir, "meta.json")) as f:
+            meta1 = _json.load(f).get("pass1", {})
+        res_discovery = InferenceResult(
+            table=table1, total_draws=int(meta1.get("total_draws", 0))
+        )
     else:
         with timed("pass 1 (discovery fit)"):
             res_discovery = do_inference(
@@ -777,8 +789,11 @@ def identify_outliers(
                 seed=seed,
                 **common,
             )
-        if checkpoint_dir:
-            ckpt.save_pass(checkpoint_dir, "pass1", res_discovery.table, fp1)
+        if checkpoint_dir and resumable1:
+            ckpt.save_pass(
+                checkpoint_dir, "pass1", res_discovery.table, fp1,
+                extra={"total_draws": res_discovery.total_draws},
+            )
     if just_discovery:
         return res_discovery.table
 

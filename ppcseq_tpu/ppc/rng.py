@@ -44,21 +44,59 @@ def counts_rng_draws(
     return jax.random.poisson(k_pois, rate)
 
 
+def _summarize_split(draws: jnp.ndarray, adj_prob_threshold: float):
+    """Scale-safe [S, K] summaries: exact bases + small float corrections.
+
+    A float32 quantile of counts loses unit resolution above 2^24 (~1.7e7)
+    — a silent precision cliff for deep-coverage cohorts. Instead the two
+    order statistics of the R type-7 quantile are gathered in the draws'
+    own (integer) dtype — exact — and only the interpolation term and the
+    residuals around a per-cell integer center pass through float32;
+    `finalize_summary` recombines in float64 on host, so CI bounds are
+    exact to the unit at any count scale (counts must fit the int dtype,
+    i.e. < 2^31 on TPU).
+    """
+    n = draws.shape[0]
+    s = jnp.sort(draws, axis=0)
+
+    def order_stat(p):
+        # R type-7: x[i0] + frac * (x[i0+1] - x[i0]), h = p*(n-1)
+        h = p * (n - 1)
+        i0 = int(np.floor(h))
+        base = s[i0]
+        delta = (s[min(i0 + 1, n - 1)] - base).astype(jnp.float32)
+        return base, jnp.float32(h - i0) * delta
+
+    lo_base, lo_corr = order_stat(float(adj_prob_threshold))
+    hi_base, hi_corr = order_stat(1.0 - float(adj_prob_threshold))
+    center = s[n // 2]
+    resid = (draws - center[None]).astype(jnp.float32)
+    return {
+        "lower_base": lo_base, "lower_corr": lo_corr,
+        "upper_base": hi_base, "upper_corr": hi_corr,
+        "mean_base": center, "mean_corr": jnp.mean(resid, axis=0),
+        "sd": jnp.std(resid, axis=0, ddof=1),  # shift-invariant
+    }
+
+
+def finalize_summary(split) -> dict:
+    """Recombine `_summarize_split` output into f64 host arrays."""
+    out = {
+        k: np.asarray(split[f"{k}_base"], np.float64)
+        + np.asarray(split[f"{k}_corr"], np.float64)
+        for k in ("lower", "upper", "mean")
+    }
+    out["sd"] = np.asarray(split["sd"], np.float64)
+    return out
+
+
 def summarize_draws(draws: jnp.ndarray, adj_prob_threshold: float):
     """CI (R type-7 quantiles at thr, 1-thr), mean, sd over axis 0.
 
-    Returns dict of [S, K] arrays: .lower, .upper, mean, sd.
+    Returns dict of [S, K] float64 numpy arrays: lower, upper, mean, sd —
+    exact to the unit at any count scale (see `_summarize_split`).
     """
-    draws_f = draws.astype(jnp.float32) if draws.dtype != jnp.float64 else draws
-    lo, hi = jnp.quantile(
-        draws_f,
-        jnp.array([adj_prob_threshold, 1.0 - adj_prob_threshold], dtype=draws_f.dtype),
-        axis=0,
-        method="linear",
-    )
-    mean = jnp.mean(draws_f, axis=0)
-    sd = jnp.std(draws_f, axis=0, ddof=1)
-    return {"lower": lo, "upper": hi, "mean": mean, "sd": sd}
+    return finalize_summary(_summarize_split(draws, adj_prob_threshold))
 
 
 @functools.lru_cache(maxsize=128)
@@ -68,7 +106,7 @@ def _exact_ci_jit(adj_prob_threshold: float, truncation_compensation: float):
         draws = counts_rng_draws(
             key, lambda_log, sigma_raw, exposure_rate, truncation_compensation
         )
-        return summarize_draws(draws, adj_prob_threshold), draws
+        return _summarize_split(draws, adj_prob_threshold), draws
 
     return run
 
@@ -99,7 +137,7 @@ def exact_ci(
     kb_max = max(1, int(max_tile_elems / max(n * S, 1)))
     if K <= kb_max and return_draws:
         out, draws = run(key, lambda_log, sigma_raw, exposure_rate)
-        return {k: np.asarray(v) for k, v in out.items()}, np.asarray(draws)
+        return finalize_summary(out), np.asarray(draws)
     outs = []
     blocks = []
     for start in range(0, K, kb_max):
@@ -110,7 +148,7 @@ def exact_ci(
             sigma_raw[:, start : start + kb_max],
             exposure_rate,
         )
-        outs.append({k: np.asarray(v) for k, v in out.items()})
+        outs.append(finalize_summary(out))
         if return_draws:
             blocks.append(np.asarray(draws))
         del draws
@@ -135,7 +173,7 @@ def _approx_block_jit(n_super: int, adj_prob_threshold: float, truncation_compen
         g = jax.random.gamma(k_gamma, phi, shape=(n_super, S, kb))
         rate = jnp.exp(eta) / phi * g
         draws = jax.random.poisson(k_pois, rate)
-        return summarize_draws(draws, adj_prob_threshold)
+        return _summarize_split(draws, adj_prob_threshold)
 
     return block
 
@@ -169,11 +207,13 @@ def approximated_ci(
     for start in range(0, K, kb_max):
         key, sub = jax.random.split(key)
         outs.append(
-            block(
-                sub,
-                lambda_log[:, :, start : start + kb_max],
-                sigma_raw[:, start : start + kb_max],
-                exposure_rate,
+            finalize_summary(
+                block(
+                    sub,
+                    lambda_log[:, :, start : start + kb_max],
+                    sigma_raw[:, start : start + kb_max],
+                    exposure_rate,
+                )
             )
         )
-    return {k: np.concatenate([np.asarray(o[k]) for o in outs], axis=-1) for k in outs[0]}
+    return {k: np.concatenate([o[k] for o in outs], axis=-1) for k in outs[0]}

@@ -83,3 +83,31 @@ def test_checkpoint_invalidated_by_mesh_and_dtype(tiny_counts, tmp_path):
     with open(os.path.join(ckpt, "meta.json")) as f:
         fp_f64 = json.load(f)["pass1"]["fingerprint"]
     assert fp_f64 not in (fp_plain, fp_mesh)
+
+
+def test_checkpoint_pass_fit_refits_instead_of_silent_none(tiny_counts, tmp_path):
+    """With `pass_fit=True` a checkpoint hit must NOT resume either pass:
+    the stored table has no fit object, so resuming would silently hand
+    back `fit 1 = None` / `fit 2 = None` (round-4 finding: pass 2 had the
+    guard, pass 1 didn't)."""
+    ckpt = str(tmp_path / "ck4")
+    identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    assert os.path.exists(os.path.join(ckpt, "pass1.parquet"))
+
+    res = identify_outliers(tiny_counts, checkpoint_dir=ckpt, pass_fit=True, **_ARGS)
+    assert res.attrs["fit 1"] is not None
+    assert res.attrs["fit 2"] is not None
+    assert res.attrs["total_draws"] > 0
+
+
+def test_checkpoint_resume_restores_total_draws(tiny_counts, tmp_path):
+    """A resumed run must carry the original run's total_draws provenance
+    (both passes persist it in meta.json), not silently report 0."""
+    ckpt = str(tmp_path / "ck5")
+    res_cold = identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    res_warm = identify_outliers(tiny_counts, checkpoint_dir=ckpt, **_ARGS)
+    assert res_warm.attrs["total_draws"] == res_cold.attrs["total_draws"] > 0
+    with open(os.path.join(ckpt, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["pass1"]["total_draws"] > 0
+    assert meta["pass2"]["total_draws"] > 0

@@ -104,3 +104,53 @@ def test_cli_end_to_end(tiny_counts, tmp_path):
     flat = pd.read_csv(out / "sample_wise_data.csv")
     assert len(flat) == 3 * 21
     assert {".lower", ".upper", "posterior_predictive_check_succeded"} <= set(flat.columns)
+
+
+def test_cli_mesh_spec_parsing():
+    """--mesh maps to a jax.sharding.Mesh over jax.devices() (8 virtual CPU
+    devices in the suite); bad specs exit with a message."""
+    from ppcseq_tpu.cli import parse_mesh_spec
+
+    assert parse_mesh_spec(None) is None
+    m = parse_mesh_spec("genes=4")
+    assert m.axis_names == ("genes",) and m.shape["genes"] == 4
+    m2 = parse_mesh_spec("chains=2,genes=4")
+    assert m2.axis_names == ("chains", "genes")
+    assert dict(m2.shape) == {"chains": 2, "genes": 4}
+    with pytest.raises(SystemExit, match="bad axis"):
+        parse_mesh_spec("rows=2")
+    with pytest.raises(SystemExit, match="duplicate"):
+        parse_mesh_spec("genes=2,genes=4")
+    with pytest.raises(SystemExit, match="available"):
+        parse_mesh_spec("genes=4096")
+
+
+def test_cli_mesh_flag_reaches_do_inference(tiny_counts, tmp_path, monkeypatch):
+    """--mesh genes=2 must hand identify_outliers a real 2-device Mesh
+    (round-4 finding: multi-device runs were unreachable from the CLI)."""
+    import ppcseq_tpu.pipeline.identify as pid
+
+    seen = {}
+
+    class _Stop(Exception):
+        pass
+
+    def spy(*args, **kwargs):
+        seen["mesh"] = kwargs.get("mesh")
+        raise _Stop
+
+    monkeypatch.setattr(pid, "do_inference", spy)
+    inp = tmp_path / "input.csv"
+    tiny_counts.to_csv(inp, index=False)
+    with pytest.raises(_Stop):
+        cli_main([
+            str(inp), "-o", str(tmp_path / "r"),
+            "--formula", "~ Label",
+            "--sample", "sample", "--transcript", "symbol",
+            "--abundance", "value", "--significance", "PValue",
+            "--do-check", "is_significant", "--negative-controls", "20",
+            "--mesh", "genes=2",
+        ])
+    mesh = seen["mesh"]
+    assert mesh is not None and mesh.axis_names == ("genes",)
+    assert mesh.shape["genes"] == 2

@@ -62,3 +62,35 @@ def test_approximated_ci_gene_chunking_consistent():
     out = approximated_ci(key, lam, sig, exposure, 0.1, 1000)
     assert out["lower"].shape == (S, K)
     assert np.isfinite(out["mean"]).all()
+
+
+def test_ci_unit_resolution_at_large_counts():
+    """float32 spacing at 1e8 counts is 8 units; the quantile/mean summaries
+    must still be exact to the unit (round-4 finding: summarize_draws cast
+    counts to f32 before jnp.quantile — a silent precision cliff for
+    deep-coverage cohorts)."""
+    base = 100_000_000
+    draws = jnp.asarray(base + np.arange(10), jnp.int32)[:, None, None]
+    out = summarize_draws(draws, 0.1)
+    # R type-7 on base+(0..9): lower = base+0.9, upper = base+8.1
+    assert abs(out["lower"][0, 0] - (base + 0.9)) < 1e-4
+    assert abs(out["upper"][0, 0] - (base + 8.1)) < 1e-4
+    assert abs(out["mean"][0, 0] - (base + 4.5)) < 1e-4
+    assert abs(out["sd"][0, 0] - np.std(np.arange(10), ddof=1)) < 1e-4
+
+
+def test_exact_ci_large_counts_end_to_end():
+    """exact_ci at mu ~ 1e8: bounds must be finite, ordered, and resolved
+    beyond the f32 quantum (not collapsed onto 8-unit grid lines)."""
+    key = jax.random.PRNGKey(7)
+    n, S, K = 400, 2, 1
+    lam = jnp.full((n, S, K), np.log(1e8), jnp.float32)
+    sig = jnp.full((n, K), -4.0, jnp.float32)  # phi = e^4 ~ 55
+    exposure = jnp.zeros(S, jnp.float32)
+    ci, _ = exact_ci(key, lam, sig, exposure, 0.05, return_draws=False)
+    mu, phi = 1e8, np.exp(4.0)
+    sd = np.sqrt(mu + mu**2 / phi)
+    assert np.all(ci["lower"] < ci["mean"]) and np.all(ci["mean"] < ci["upper"])
+    assert np.all(np.abs(ci["mean"] - mu) < 4 * sd / np.sqrt(n))
+    # f64 output dtype carries unit resolution at this scale
+    assert ci["lower"].dtype == np.float64 and ci["upper"].dtype == np.float64

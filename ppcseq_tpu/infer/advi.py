@@ -200,6 +200,16 @@ def advi_sample(result: ADVIResult, key, n_draws: int, dtype=jnp.float32):
     return jax.vmap(lambda k: _sample_q(k, m, log_s))(keys)
 
 
+@jax.jit
+def _all_finite(tree):
+    """Device-side all-finite reduction: leaves may be sharded across
+    processes (multi-host gene sharding), where a host fetch of the full
+    array is impossible — the reduced scalar is fully addressable."""
+    return jax.tree.reduce(
+        jnp.logical_and, jax.tree.map(lambda l: jnp.all(jnp.isfinite(l)), tree)
+    )
+
+
 def vb_iterative(
     log_density,
     prototype,
@@ -223,7 +233,7 @@ def vb_iterative(
             init_mean=init_mean if attempt == 0 else None,
             **advi_kwargs,
         )
-        finite_mean = all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(res.mean))
+        finite_mean = bool(_all_finite(res.mean))
         ok = np.isfinite(res.elbo) and res.elbo > min_elbo and finite_mean
         if ok:
             return res

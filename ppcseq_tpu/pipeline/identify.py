@@ -308,7 +308,7 @@ def do_inference(
         truncation_compensation=truncation_compensation,
         save_generated_quantities=save_generated_quantities,
         additional_parameters_to_save=additional_parameters_to_save,
-        pass_fit=pass_fit, k_ci=k_ci, dtype=dtype,
+        pass_fit=pass_fit, k_ci=k_ci, dtype=dtype, mesh=mesh,
     )
 
 
@@ -318,7 +318,7 @@ def _finish_inference(
     approximate_posterior_analysis, adj_prob_theshold,
     how_many_posterior_draws, truncation_compensation,
     save_generated_quantities, additional_parameters_to_save,
-    pass_fit, k_ci, dtype,
+    pass_fit, k_ci, dtype, mesh=None,
 ) -> InferenceResult:
     """CI extraction + PPC decision + outlier annotation, from posterior draws.
 
@@ -329,6 +329,18 @@ def _finish_inference(
     """
     lambda_log_draws, sigma_raw_draws = nb_model.extract_lambda_sigma_draws(thetas, data, dims)
     alpha1_draws = nb_model.extract_alpha_sub_1_draws(thetas, dims)
+    if mesh is not None and jax.process_count() > 1:
+        # Multi-host: the fit ran sharded across processes, but everything
+        # from here on is host-side table assembly over the (small)
+        # checked-gene block — all-gather it to every process so np.asarray
+        # sees fully-addressable arrays (the reference's analog is rstan
+        # collecting draws on the driver after MPI map_rect, SURVEY §5).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+        lambda_log_draws, sigma_raw_draws, alpha1_draws = rep(
+            (lambda_log_draws, sigma_raw_draws, alpha1_draws)
+        )
     slope_mean = np.asarray(jnp.mean(alpha1_draws, axis=0))  # posterior mean per checked gene
 
     # Extra constrained-parameter draws the user asked to keep (reference
@@ -577,7 +589,7 @@ def _do_inference_gene_sharded(
         truncation_compensation=truncation_compensation,
         save_generated_quantities=save_generated_quantities,
         additional_parameters_to_save=additional_parameters_to_save,
-        pass_fit=pass_fit, k_ci=k_ci, dtype=dtype,
+        pass_fit=pass_fit, k_ci=k_ci, dtype=dtype, mesh=mesh,
     )
 
 

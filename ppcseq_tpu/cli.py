@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'nuts' (dynamic-tree sampler)")
     p.add_argument("--full-ci", action="store_true",
                    help="exact CI extraction instead of the approximated path")
+    p.add_argument("--hmc-adapt-trajectory", action="store_true",
+                   help="opt-in SNAPER/ChEES trajectory-length adaptation for "
+                        "--full-posterior HMC: use on cohorts whose posterior "
+                        "geometry may differ from the bundled data's (costs a "
+                        "fresh compile; incompatible with a genes mesh axis)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--cores", type=int, default=None)
     p.add_argument("--mesh", default=None, metavar="AXES",
@@ -137,6 +142,7 @@ def main(argv=None) -> int:
         approximate_posterior_inference=not args.full_posterior,
         approximate_posterior_analysis=not args.full_ci,
         mcmc_sampler=args.mcmc_sampler,
+        hmc_adapt_trajectory=args.hmc_adapt_trajectory,
         draws_after_tail=args.draws_after_tail,
         seed=args.seed,
         cores=args.cores,

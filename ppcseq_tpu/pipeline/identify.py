@@ -87,6 +87,7 @@ def do_inference(
     tol_rel_obj: float = 0.01,
     pass_fit: bool = False,
     mcmc_sampler: str = "hmc",
+    hmc_adapt_trajectory: bool = False,
     mesh=None,
     dtype=jnp.float32,
 ) -> InferenceResult:
@@ -160,6 +161,11 @@ def do_inference(
     # delta-form likelihood baseline: float32-smooth evaluation (TPU)
     data = nb_model.with_baseline(data, dims)
     if mesh_genes:
+        if hmc_adapt_trajectory:
+            raise ValueError(
+                "hmc_adapt_trajectory is not supported with a 'genes' mesh "
+                "axis (the trajectory-adaptive runner is flat-state only)"
+            )
         return _do_inference_gene_sharded(
             my_df=my_df, md=md, data=data, dims=dims, mesh=mesh,
             formula=formula, sample=sample, transcript=transcript,
@@ -244,6 +250,7 @@ def do_inference(
                     init_theta=warm.mean,
                     inv_mass=inv_mass,
                     mesh=chain_mesh,
+                    adapt_trajectory=hmc_adapt_trajectory,
                     dtype=dtype,
                 )
                 if res.divergences.sum() <= 0.02 * chains * per_chain:
@@ -257,6 +264,8 @@ def do_inference(
                 "step_size": res.step_size,
                 "target_accept": ta,
             }
+            if res.trajectory_length is not None:
+                fit_info["trajectory_length"] = res.trajectory_length
         elif mcmc_sampler == "nuts":
             chains = chains_for_run(draws_practical, cores)
             if mesh_chains:
@@ -617,6 +626,7 @@ def identify_outliers(
     seed: int | None = None,
     adj_prob_theshold_2: float | None = None,
     mcmc_sampler: str = "hmc",
+    hmc_adapt_trajectory: bool = False,
     checkpoint_dir: str | None = None,
     mesh=None,
     dtype=jnp.float32,
@@ -634,6 +644,12 @@ def identify_outliers(
     - mcmc_sampler: "hmc" (default; jittered-trajectory HMC, 128 vmapped
       chains — the TPU-native fast path) or "nuts" (dynamic-tree sampler)
       for the approximate_posterior_inference=False route.
+    - hmc_adapt_trajectory: opt-in SNAPER/ChEES trajectory-length
+      adaptation for the HMC sampler (infer/hmc.py:adapt_trajectory) — use
+      on cohorts whose posterior geometry may differ from the bundled
+      data's, where the swept fixed trajectory (utils/constants.py) could
+      be mistuned. Costs a fresh compile per shape; flat-state driver only
+      (with a `genes` mesh axis it raises).
     - additional_parameters_to_save: names of constrained parameters whose
       posterior draws to keep (reference R/methods.R:90); also "sigma" and
       "lambda_log_param".
@@ -752,6 +768,7 @@ def identify_outliers(
         cores=cores,
         tol_rel_obj=tol_rel_obj,
         mcmc_sampler=mcmc_sampler,
+        hmc_adapt_trajectory=hmc_adapt_trajectory,
         mesh=mesh,
         dtype=dtype,
     )
@@ -769,6 +786,7 @@ def identify_outliers(
     base_cfg = dict(
         formula=formula, approx_inf=approximate_posterior_inference,
         seed=seed, sampler=mcmc_sampler,
+        adapt_trajectory=hmc_adapt_trajectory,
         mesh=mesh_desc, dtype=str(jnp.dtype(dtype)),
     )
     # resume is only sound when no unserialized outputs were requested —

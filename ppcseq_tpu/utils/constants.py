@@ -38,10 +38,16 @@ APPROX_ANALYSIS_PRACTICAL_DRAWS = 1000
 
 # Jittered-HMC (infer/hmc.py) defaults — TPU-tuned, no reference equivalent
 # (the reference's chain heuristic, R/utilities.R:291-303, is CPU-process
-# economics; on TPU chains are a nearly-free batch dimension)
+# economics; on TPU chains are a nearly-free batch dimension). Evidence:
+# SWEEP_PIPELINE_r5.json — a sweep at the PIPELINE's own budget (128
+# chains x 8 draws, ADVI warm start, both warmups x L in {16,24,32,48}):
+# posterior-mean bias of the call-driving block vs a 128x60 w100 L48
+# reference fit is at the MC-noise floor for every config with 0
+# divergences, so the cheapest wins. warmup 30 matches 60 at this budget
+# (the ADVI warm start supplies init + mass; dual averaging only tunes the
+# step size), settling the round-4 question of whether the bench-config
+# warmup sweep (SWEEP_HMC_r4.json) transferred to the pipeline config.
+# bench.py's own 10.5k-draw config (L=48) is evidenced separately there.
 HMC_CHAINS = 128
-HMC_WARMUP = 30  # ADVI supplies init+mass; 30 DA iterations tune the step
-# size fully (SWEEP_HMC_r4.json warmup sweep + 6-seed validation: rhat
-# <= 1.019, 0 divergences) — warmup dominated the pipeline's MCMC fits
-# (60 of 68 transitions at the 1000-draw approximate-analysis budget)
-HMC_LEAPFROG = 32
+HMC_WARMUP = 30
+HMC_LEAPFROG = 16

@@ -99,61 +99,87 @@ def run_gene_sharded(n_genes=4096, n_samples=50, chains=8, warmup=40, draws=60):
     return out
 
 
-def run_gene_sharded_nuts(n_genes=4096, n_samples=50, chains=8, warmup=50, draws=50):
-    """Gene-sharded NUTS (robustness path). Compile is while_loop-heavy: use
-    small max_depth on virtual meshes; the HMC harness above is the
-    measurable-at-scale mode."""
+def run_gene_sharded_nuts(n_genes=4096, n_samples=50, chains=8, warmup=50,
+                          draws=50, max_depth=8, top_only=0, json_out=None):
+    """Gene-sharded NUTS (the reference's exact at-scale combination: NUTS
+    over map_rect gene shards, stan:226-240 under rstan sampling). Records
+    first-call wall (compile + one run) per device count — the open round-4
+    question was whether GSPMD partitioning of the while_loop-heavy tree
+    build stays bounded at large G."""
     import jax
     import jax.numpy as jnp
 
     from ppcseq_tpu.infer.nuts import run_nuts
     from ppcseq_tpu.model import nb_model
     from ppcseq_tpu.model.params import zeros_tree
-    from ppcseq_tpu.parallel.sharding import gene_mesh, pad_genes, shard_data, shard_params
+    from ppcseq_tpu.parallel.sharding import gene_mesh, pad_genes
     from ppcseq_tpu.utils.synthetic import synthetic_cohort
 
     counts, X, exposure, _ = synthetic_cohort(n_genes, n_samples, n_check=64, seed=0)
     n_devices = len(jax.devices())
     results = {}
-    for k in sorted({1, n_devices}):
+    # top_only: skip the 1-device baseline — on a virtual CPU mesh the
+    # baseline costs the same total compute on the same shared cores (the
+    # round-4 question is compile boundedness at the full mesh, not
+    # virtual-mesh "efficiency", which the module docstring already
+    # disclaims as a lower bound)
+    ks = [n_devices] if top_only else sorted({1, n_devices})
+    for k in ks:
         mesh = gene_mesh(k)
         G_pad = pad_genes(n_genes, mesh)
         data, dims = nb_model.prepare_data(
             counts, X, exposure, 64, pad_genes_to=G_pad, dtype=jnp.float32
         )
-        data = shard_data(data, mesh)
-        ld = nb_model.make_log_density(data, dims, tree=True)
+        logp = nb_model.tree_logp(dims, likelihood="plain")
         init = nb_model.smart_init(data, dims, as_tree=True)
-        init = shard_params(init, mesh, dims)
 
         def go(seed):
             return run_nuts(
-                ld, zeros_tree(dims), jax.random.PRNGKey(seed),
+                logp, zeros_tree(dims), jax.random.PRNGKey(seed), data=data,
                 num_chains=chains, num_warmup=warmup, num_draws=draws,
-                init_theta=init, max_depth=8,
+                init_theta=init, max_depth=max_depth, mesh=mesh, dims=dims,
             )
 
-        _ = go(1)  # compile
+        t0 = time.time()
+        res = go(1)  # compile + first run
+        first_call_s = time.time() - t0
         t0 = time.time()
         res = go(0)
         dt = time.time() - t0
         results[k] = {
+            "axis": "genes(nuts)",
             "devices": k,
+            "G": G_pad,
+            "S": n_samples,
+            "max_depth": max_depth,
+            "first_call_s": round(first_call_s, 1),
             "elapsed_s": round(dt, 2),
             "draws_per_sec": round(chains * draws / dt, 2),
             "leapfrogs_per_sec": round(res.num_leapfrog / dt, 1),
+            "accept": round(float(res.accept_prob.mean()), 3),
+            "divergence_frac": round(float(res.divergences.sum()) / (chains * draws), 4),
         }
         print(json.dumps(results[k]), flush=True)
 
+    out = {"runs": list(results.values())}
     if len(results) > 1:
         base = results[1]["leapfrogs_per_sec"]
         top = results[n_devices]["leapfrogs_per_sec"]
-        eff = top / (base * n_devices)
-        print(json.dumps({
+        out["efficiency"] = {
             "metric": "gene_sharding_nuts_scaling_efficiency",
-            "value": round(eff, 3),
+            "value": round(top / (base * n_devices), 3),
             "unit": f"x{n_devices}_devices",
-        }))
+        }
+        print(json.dumps(out["efficiency"]), flush=True)
+    if json_out:
+        import jax as _jax
+
+        out["platform"] = _jax.default_backend()
+        out["n_devices"] = n_devices
+        with open(json_out, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {json_out}")
+    return out
 
 
 def run_chain_sharded(n_genes=2048, n_samples=50, chains=64, warmup=40, draws=60):
@@ -215,7 +241,7 @@ if __name__ == "__main__":
     if argv and argv[0] == "--hmc":
         run_chain_sharded(*[int(a) for a in argv[1:]])
     elif argv and argv[0] == "--nuts":
-        run_gene_sharded_nuts(*[int(a) for a in argv[1:]])
+        run_gene_sharded_nuts(*[int(a) for a in argv[1:]], json_out=json_out)
     elif argv and argv[0] == "--genes":
         run_gene_sharded(*[int(a) for a in argv[1:]])
     else:

@@ -105,3 +105,36 @@ def test_plot_credible_intervals(small_counts):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_hmc_adapt_trajectory_in_product():
+    """Opt-in SNAPER trajectory adaptation reaches the product path
+    (round-4 finding: adapt_trajectory was regression-tested at sampler
+    level but unreachable from identify_outliers). The adapted trajectory
+    length must surface in fit_info, and a genes-mesh combination raises."""
+    import numpy as np
+
+    import jax
+    import pytest
+    from jax.sharding import Mesh
+
+    from ppcseq_tpu.pipeline.identify import identify_outliers
+    from ppcseq_tpu.utils.synthetic import synthetic_tidy
+
+    df = synthetic_tidy(n_genes=48, n_samples=8, n_check=3, outlier_frac=0.15, seed=0)
+    res = identify_outliers(
+        df, formula="~ Label", how_many_negative_controls=30,
+        approximate_posterior_inference=False, mcmc_sampler="hmc",
+        hmc_adapt_trajectory=True, seed=11, pass_fit=True,
+    )
+    assert len(res) == 3
+    fit2 = res.attrs["fit 2"]
+    assert fit2.trajectory_length is not None and fit2.trajectory_length > 0
+
+    mesh = Mesh(np.array(jax.devices()), ("genes",))
+    with pytest.raises(ValueError, match="adapt_trajectory"):
+        identify_outliers(
+            df, formula="~ Label", how_many_negative_controls=30,
+            approximate_posterior_inference=False, mcmc_sampler="hmc",
+            hmc_adapt_trajectory=True, seed=11, mesh=mesh,
+        )

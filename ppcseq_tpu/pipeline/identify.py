@@ -201,14 +201,15 @@ def do_inference(
 
     fit_info: dict[str, Any] = {}
     if approximate_posterior_inference:
-        res = vb_iterative(
-            logp, dims.dim, k_fit,
-            data=data,
-            max_iter=K.VB_MAX_ITER,
-            tol_rel_obj=K.VB_TOL_REL_OBJ,  # hard-coded in reference R/utilities.R:1493
-            init_mean=init_flat,
-            dtype=dtype,
-        )
+        with timed("variational fit"):
+            res = vb_iterative(
+                logp, dims.dim, k_fit,
+                data=data,
+                max_iter=K.VB_MAX_ITER,
+                tol_rel_obj=K.VB_TOL_REL_OBJ,  # hard-coded in reference R/utilities.R:1493
+                init_mean=init_flat,
+                dtype=dtype,
+            )
         thetas = advi_sample(res, k_draws, draws_practical, dtype=dtype)
         fit_info = {"method": "advi", "elbo": res.elbo, "iterations": res.iterations}
         fit_obj = res
@@ -228,6 +229,7 @@ def do_inference(
         )
         inv_mass = np.exp(2.0 * np.asarray(warm.log_sd))
         chain_mesh = mesh if mesh_chains else None
+        breadcrumb(f"executing {mcmc_sampler} fit")
         if mcmc_sampler == "hmc":
             chains = K.HMC_CHAINS
             if mesh_chains:
@@ -336,6 +338,8 @@ def _finish_inference(
     `thetas` is a flat [n, D] array or a stacked pytree — either may be
     sharded over a mesh; all extraction/PPC math consumes it in place.
     """
+    from ppcseq_tpu.utils.log import timed as _timed
+
     lambda_log_draws, sigma_raw_draws = nb_model.extract_lambda_sigma_draws(thetas, data, dims)
     alpha1_draws = nb_model.extract_alpha_sub_1_draws(thetas, dims)
     if mesh is not None and jax.process_count() > 1:
@@ -384,22 +388,27 @@ def _finish_inference(
 
     counts_rng = None
     if approximate_posterior_analysis:
-        ci = approximated_ci(
-            k_ci, lambda_log_draws, sigma_raw_draws,
-            jnp.asarray(md.exposure_rate, dtype),
-            adj_prob_theshold, int(np.ceil(how_many_posterior_draws)),
-            truncation_compensation,
-        )
+        # reference breadcrumb: "executing fit_to_counts_rng_approximated"
+        # (R/utilities.R:736)
+        with _timed("CI extraction (approximated)"):
+            ci = approximated_ci(
+                k_ci, lambda_log_draws, sigma_raw_draws,
+                jnp.asarray(md.exposure_rate, dtype),
+                adj_prob_theshold, int(np.ceil(how_many_posterior_draws)),
+                truncation_compensation,
+            )
     else:
         # the full [draws, S, K] counts_rng is only kept on host when the
         # user asked for generated quantities; otherwise the gene-chunked
         # summaries suffice and the exact path stays O(tile) in memory
-        ci, rng_draws = exact_ci(
-            k_ci, lambda_log_draws, sigma_raw_draws,
-            jnp.asarray(md.exposure_rate, dtype),
-            adj_prob_theshold, truncation_compensation,
-            return_draws=save_generated_quantities or pass_fit,
-        )
+        # (reference breadcrumb "executing fit_to_counts_rng", R/utilities.R:687)
+        with _timed("CI extraction (exact)"):
+            ci, rng_draws = exact_ci(
+                k_ci, lambda_log_draws, sigma_raw_draws,
+                jnp.asarray(md.exposure_rate, dtype),
+                adj_prob_theshold, truncation_compensation,
+                return_draws=save_generated_quantities or pass_fit,
+            )
         counts_rng = None if rng_draws is None else np.asarray(rng_draws)
 
     # Assemble the per-(S, checked G) table
@@ -498,11 +507,12 @@ def _do_inference_gene_sharded(
 
     fit_info: dict[str, Any] = {"mesh": dict(mesh.shape)}
     if approximate_posterior_inference:
-        res = vb_iterative(
-            logp, proto_sh, k_fit, data=data_sh,
-            max_iter=K.VB_MAX_ITER, tol_rel_obj=K.VB_TOL_REL_OBJ,
-            init_mean=init_sh, dtype=dtype,
-        )
+        with timed("variational fit (gene-sharded)"):
+            res = vb_iterative(
+                logp, proto_sh, k_fit, data=data_sh,
+                max_iter=K.VB_MAX_ITER, tol_rel_obj=K.VB_TOL_REL_OBJ,
+                init_mean=init_sh, dtype=dtype,
+            )
         thetas = advi_sample(res, k_draws, draws_practical, dtype=dtype)
         fit_info.update(method="advi", elbo=res.elbo, iterations=res.iterations)
         fit_obj = res

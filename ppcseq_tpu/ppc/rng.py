@@ -57,19 +57,38 @@ def _summarize_split(draws: jnp.ndarray, adj_prob_threshold: float):
     i.e. < 2^31 on TPU).
     """
     n = draws.shape[0]
-    s = jnp.sort(draws, axis=0)
+    thr = float(adj_prob_threshold)
+    i_lo = int(np.floor(thr * (n - 1)))
+    i_hi = int(np.floor((1.0 - thr) * (n - 1)))
+    # CI thresholds are tail probabilities (pipeline: 2e-4..0.05), so the
+    # four order statistics live within ~a dozen elements of each end — two
+    # top_k calls are exact and far cheaper than a full n-element sort (at
+    # the 50k-supersample budget the sort dominated the whole PPC stage).
+    k_lo = min(i_lo + 2, n)
+    k_hi = min(n - i_hi, n)
+    if k_lo + k_hi <= max(n // 4, 2):
+        xt = jnp.moveaxis(draws, 0, -1)  # [S, K, n]; top_k works on last axis
+        lo_vals = -jax.lax.top_k(-xt, k_lo)[0]  # k_lo smallest, ascending
+        hi_vals = jax.lax.top_k(xt, k_hi)[0]  # k_hi largest, descending
 
-    def order_stat(p):
+        def get(i):  # global sorted index -> [S, K]
+            return lo_vals[..., i] if i < k_lo else hi_vals[..., n - 1 - i]
+
+    else:
+        s = jnp.sort(draws, axis=0)
+
+        def get(i):
+            return s[i]
+
+    def order_stat(i0, h):
         # R type-7: x[i0] + frac * (x[i0+1] - x[i0]), h = p*(n-1)
-        h = p * (n - 1)
-        i0 = int(np.floor(h))
-        base = s[i0]
-        delta = (s[min(i0 + 1, n - 1)] - base).astype(jnp.float32)
+        base = get(i0)
+        delta = (get(min(i0 + 1, n - 1)) - base).astype(jnp.float32)
         return base, jnp.float32(h - i0) * delta
 
-    lo_base, lo_corr = order_stat(float(adj_prob_threshold))
-    hi_base, hi_corr = order_stat(1.0 - float(adj_prob_threshold))
-    center = s[n // 2]
+    lo_base, lo_corr = order_stat(i_lo, thr * (n - 1))
+    hi_base, hi_corr = order_stat(i_hi, (1.0 - thr) * (n - 1))
+    center = get(i_lo)  # any integer anchor works for the residual trick
     resid = (draws - center[None]).astype(jnp.float32)
     return {
         "lower_base": lo_base, "lower_corr": lo_corr,
@@ -163,19 +182,73 @@ def _approx_block_jit(n_super: int, adj_prob_threshold: float, truncation_compen
 
     @jax.jit
     def block(key, lam_blk, sig_blk, exposure_rate):
-        n_actual, S, kb = lam_blk.shape
-        k_idx, k_gamma, k_pois = jax.random.split(key, 3)
-        idx = jax.random.randint(k_idx, (n_super, S, kb), 0, n_actual)
-        lam = jnp.take_along_axis(lam_blk, idx, axis=0)
-        sig = jnp.take_along_axis(sig_blk[:, None, :].repeat(S, axis=1), idx, axis=0)
-        eta = lam + exposure_rate[None, :, None]
-        phi = jnp.exp(-sig) * truncation_compensation
-        g = jax.random.gamma(k_gamma, phi, shape=(n_super, S, kb))
-        rate = jnp.exp(eta) / phi * g
-        draws = jax.random.poisson(k_pois, rate)
-        return _summarize_split(draws, adj_prob_threshold)
+        return _approx_block_body(
+            key, lam_blk, sig_blk, exposure_rate,
+            n_super, adj_prob_threshold, truncation_compensation,
+        )
 
     return block
+
+
+def _approx_block_body(key, lam_blk, sig_blk, exposure_rate,
+                       n_super, adj_prob_threshold, truncation_compensation):
+    """Supersample one gene block and summarize.
+
+    Bootstrap indices are drawn per SUPERSAMPLE and shared across the
+    block's cells (whole posterior-draw rows resampled with replacement):
+    each cell's marginal bootstrap distribution is exactly the reference's
+    per-cell `sample(1:n, replace=TRUE)` (R/utilities.R:753-781) — a
+    uniform index is uniform per cell either way, and every downstream
+    consumer (CI bounds, PPC flags) is a per-cell marginal. Only the
+    cross-cell covariance of the resampling noise differs. The row gather
+    is contiguous (fast TPU take); the per-cell [n_super, S, kb] index
+    gather it replaces dominated the whole PPC stage (~2.5 s/block at the
+    50k-product shape).
+    """
+    n_actual, S, kb = lam_blk.shape
+    k_idx, k_gamma, k_pois = jax.random.split(key, 3)
+    idx = jax.random.randint(k_idx, (n_super,), 0, n_actual)
+    lam = lam_blk[idx]  # [n_super, S, kb] contiguous row take
+    sig = sig_blk[idx][:, None, :]  # [n_super, 1, kb]
+    eta = lam + exposure_rate[None, :, None]
+    phi = jnp.exp(-sig) * truncation_compensation
+    g = jax.random.gamma(k_gamma, phi, shape=(n_super, S, kb))
+    rate = jnp.exp(eta) / phi * g
+    draws = jax.random.poisson(k_pois, rate)
+    return _summarize_split(draws, adj_prob_threshold)
+
+
+@functools.lru_cache(maxsize=128)
+def _approx_scan_jit(n_super: int, adj_prob_threshold: float,
+                     truncation_compensation: float, kb: int, n_blocks: int):
+    """All gene blocks of the supersampled CI in ONE compiled program.
+
+    `lax.scan` runs the blocks sequentially on device (one [n_super, S, kb]
+    tile live at a time, same memory bound as the host-side chunk loop it
+    replaces) with a single dispatch and a single host transfer of the
+    stacked summaries — on the tunneled TPU the per-block round trips of
+    the host loop cost more than the compute (9-block 50k-product shape:
+    22.5 s -> 9.1 s warm, with the row-take resampling below).
+    """
+
+    @jax.jit
+    def run(key, lam_pad, sig_pad, exposure_rate):
+        n_actual, S, K_pad = lam_pad.shape
+        lam_b = jnp.moveaxis(lam_pad.reshape(n_actual, S, n_blocks, kb), 2, 0)
+        sig_b = jnp.moveaxis(sig_pad.reshape(n_actual, n_blocks, kb), 1, 0)
+        keys = jax.random.split(key, n_blocks)
+
+        def body(_, xs):
+            k, lam_blk, sig_blk = xs
+            return 0, _approx_block_body(
+                k, lam_blk, sig_blk, exposure_rate,
+                n_super, adj_prob_threshold, truncation_compensation,
+            )
+
+        _, outs = jax.lax.scan(body, 0, (keys, lam_b, sig_b))
+        return outs  # dict of [n_blocks, S, kb]
+
+    return run
 
 
 def approximated_ci(
@@ -199,21 +272,30 @@ def approximated_ci(
     n_actual, S, K = lambda_log.shape
     n_super = int(how_many_posterior_draws)
 
-    block = _approx_block_jit(n_super, float(adj_prob_threshold), float(truncation_compensation))
-
-    # chunk genes so the supersampled [n_super, S, kb] tile stays < ~64M elems
-    kb_max = max(1, int(64e6 / (n_super * S)))
-    outs = []
-    for start in range(0, K, kb_max):
-        key, sub = jax.random.split(key)
-        outs.append(
-            finalize_summary(
-                block(
-                    sub,
-                    lambda_log[:, :, start : start + kb_max],
-                    sigma_raw[:, start : start + kb_max],
-                    exposure_rate,
-                )
-            )
+    # chunk genes so the supersampled [n_super, S, kb] tile stays < ~64M
+    # elems; all chunks run inside ONE compiled scan (see _approx_scan_jit)
+    kb = max(1, min(int(64e6 / (n_super * S)), K))
+    n_blocks = -(-K // kb)
+    if n_blocks == 1:
+        # single tile: one direct block call (no scan). NB cold-call wall
+        # on the tunneled TPU varies wildly (12-330 s for this same
+        # program, remote-compile lottery) — warm calls are ~1 s.
+        block = _approx_block_jit(
+            n_super, float(adj_prob_threshold), float(truncation_compensation)
         )
-    return {k: np.concatenate([o[k] for o in outs], axis=-1) for k in outs[0]}
+        return finalize_summary(block(key, lambda_log, sigma_raw, exposure_rate))
+    K_pad = n_blocks * kb
+    if K_pad != K:
+        lambda_log = jnp.pad(lambda_log, ((0, 0), (0, 0), (0, K_pad - K)))
+        sigma_raw = jnp.pad(sigma_raw, ((0, 0), (0, K_pad - K)))
+    run = _approx_scan_jit(
+        n_super, float(adj_prob_threshold), float(truncation_compensation),
+        kb, n_blocks,
+    )
+    out = run(key, lambda_log, sigma_raw, exposure_rate)
+    # [n_blocks, S, kb] -> [S, K_pad] -> [S, K]
+    flat = {
+        k: np.moveaxis(np.asarray(v), 0, 1).reshape(S, K_pad)[:, :K]
+        for k, v in out.items()
+    }
+    return finalize_summary(flat)

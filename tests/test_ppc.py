@@ -94,3 +94,21 @@ def test_exact_ci_large_counts_end_to_end():
     assert np.all(np.abs(ci["mean"] - mu) < 4 * sd / np.sqrt(n))
     # f64 output dtype carries unit resolution at this scale
     assert ci["lower"].dtype == np.float64 and ci["upper"].dtype == np.float64
+
+
+def test_topk_quantile_path_matches_numpy_type7():
+    """With tail thresholds and many draws, _summarize_split takes the
+    two-sided top_k path (no full sort); its quantiles must equal NumPy's
+    type-7 ('linear') exactly (both are exact order statistics)."""
+    rng = np.random.default_rng(5)
+    n, S, K = 4096, 3, 2
+    draws = jnp.asarray(rng.integers(0, 1_000_000, size=(n, S, K)), jnp.int32)
+    thr = 0.001  # i0 = 4 -> top_k branch (k_lo + k_hi = 12 << n/4)
+    out = summarize_draws(draws, thr)
+    d64 = np.asarray(draws, np.float64)
+    lo = np.quantile(d64, thr, axis=0, method="linear")
+    hi = np.quantile(d64, 1 - thr, axis=0, method="linear")
+    np.testing.assert_allclose(out["lower"], lo, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(out["upper"], hi, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(out["mean"], d64.mean(axis=0), rtol=1e-6)
+    np.testing.assert_allclose(out["sd"], d64.std(axis=0, ddof=1), rtol=1e-4)

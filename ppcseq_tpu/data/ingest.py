@@ -46,8 +46,19 @@ def check_integer_counts(df: pd.DataFrame, abundance: str) -> None:
 
 def check_rectangular(df: pd.DataFrame, sample: str, transcript: str) -> None:
     """Every transcript must be present in all samples (reference R/utilities.R:1360)."""
-    counts = df.drop_duplicates([sample, transcript]).groupby(transcript, sort=False).size()
-    if counts.nunique() > 1:
+    codes_t, uniq_t = pd.factorize(df[transcript])
+    codes_s, uniq_s = pd.factorize(df[sample])
+    n_t, n_s = len(uniq_t), len(uniq_s)
+    # distinct (sample, transcript) pairs, counted per transcript — all in C
+    pair = codes_s.astype(np.int64) * n_t + codes_t
+    if n_t * n_s <= max(4 * len(df), 1 << 22):
+        # presence bitmap via bincount: ~100x cheaper than sorting the pairs
+        present = np.bincount(pair, minlength=n_t * n_s) > 0
+        per_t = present.reshape(n_s, n_t).sum(axis=0)
+    else:
+        upair = np.unique(pair)
+        per_t = np.bincount(upair % n_t, minlength=n_t)
+    if np.unique(per_t).size > 1:
         raise ValueError(
             "The input data frame does not represent a rectangular structure. "
             "Each transcript must be present in all samples."
@@ -68,12 +79,36 @@ def select_to_check_and_house_keeping(
     ascending significance (stable), taking the last N (least significant);
     control rows are the non-check rows of those transcripts.
     """
-    check_rows = df[df[do_check].astype(bool)]
-    ordered = df.sort_values(significance, kind="stable")[transcript].drop_duplicates()
-    tail = set(ordered.tail(how_many_negative_controls))
-    noncheck = df[~df[do_check].astype(bool)]
-    control_rows = noncheck[noncheck[transcript].isin(tail)]
-    return pd.concat([check_rows, control_rows], ignore_index=True)
+    check_mask, control_mask = _selection_masks(
+        df, do_check, significance, transcript, how_many_negative_controls
+    )
+    return pd.concat(
+        [df[check_mask], df[control_mask]], ignore_index=True
+    )
+
+
+def _selection_masks(df, do_check, significance, transcript,
+                     how_many_negative_controls):
+    """Boolean row masks (check rows, control rows) for the gene selection.
+
+    numpy formulation of "stable-sort by significance, distinct transcripts,
+    take the last N": each transcript's rank is the position of its first
+    row in the significance-sorted order (ties keep original row order,
+    exactly like the stable sort + distinct it replaces — the pandas
+    version cost ~7 s on a 5M-row cohort).
+    """
+    codes, _ = pd.factorize(df[transcript])
+    order = np.argsort(df[significance].to_numpy(), kind="stable")
+    _, first_pos = np.unique(codes[order], return_index=True)  # per code
+    n_codes = len(first_pos)
+    n_tail = min(how_many_negative_controls, n_codes)
+    tail_codes = np.argsort(first_pos, kind="stable")[n_codes - n_tail:]
+    is_tail = np.zeros(n_codes, dtype=bool)
+    is_tail[tail_codes] = True
+
+    check_mask = df[do_check].astype(bool).to_numpy()
+    control_mask = ~check_mask & is_tail[codes]
+    return check_mask, control_mask
 
 
 def format_input(
@@ -93,22 +128,34 @@ def format_input(
     in G order, exactly as in reference R/utilities.R:924-959.
     """
     covariates = parse_formula(formula)
-    sub = select_to_check_and_house_keeping(
+    check_mask, control_mask = _selection_masks(
         df, do_check, significance, transcript, how_many_negative_controls
     )
     keep_cols = [transcript, sample, abundance] + covariates + [do_check]
-    sub = sub[keep_cols].drop_duplicates().reset_index(drop=True)
+    # one positional take of the column subset — selecting masked copies of
+    # the full frame and concatenating them cost ~6 s on a 5M-row cohort
+    idx = np.concatenate([np.flatnonzero(check_mask), np.flatnonzero(control_mask)])
+    sub = df[keep_cols].take(idx)
 
-    gene_order = sub[transcript].drop_duplicates().tolist()
-    g_index = {t: i for i, t in enumerate(gene_order)}
-    sample_order = sub[sample].drop_duplicates().tolist()
-    s_index = {s: i for i, s in enumerate(sample_order)}
+    # de-duplicate by (transcript, sample) first occurrence: for rectangular
+    # inputs one row exists per pair, so this equals the reference's
+    # distinct() across the kept columns (R/utilities.R:940) while running
+    # at C speed instead of hashing object columns. factorize codes double
+    # as the G/S indices: first-appearance order, check genes first —
+    # exactly the reference's scheme.
+    codes_t, uniq_t = pd.factorize(sub[transcript])
+    codes_s, uniq_s = pd.factorize(sub[sample])
+    if len(sub) != len(uniq_t) * len(uniq_s):  # full rectangle => no dups
+        pair = codes_t.astype(np.int64) * len(uniq_s) + codes_s
+        _, first_idx = np.unique(pair, return_index=True)
+        if len(first_idx) != len(sub):
+            first_idx.sort()  # keep original row order of the kept rows
+            sub = sub.iloc[first_idx]
+            codes_t = codes_t[first_idx]
+            codes_s = codes_s[first_idx]
+    sub = sub.reset_index(drop=True)
 
-    sub = sub.assign(
-        G=sub[transcript].map(g_index).astype(np.int64),
-        S=sub[sample].map(s_index).astype(np.int64),
-    )
-    return sub
+    return sub.assign(G=codes_t.astype(np.int64), S=codes_s.astype(np.int64))
 
 
 @dataclass
@@ -151,8 +198,8 @@ def build_model_data(
     """
     check_rectangular(my_df, sample, transcript)
 
-    gene_names = my_df[transcript].drop_duplicates().tolist()
-    sample_names = my_df[sample].drop_duplicates().tolist()
+    gene_names = pd.factorize(my_df[transcript])[1].tolist()  # first-appearance order
+    sample_names = pd.factorize(my_df[sample])[1].tolist()
     S, G = len(sample_names), len(gene_names)
 
     from ppcseq_tpu import _native

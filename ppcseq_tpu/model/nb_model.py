@@ -897,7 +897,13 @@ def smart_init(data: ModelData, dims: ModelDims, as_tree: bool = False):
         mask.sum(0) > 0, (y * mask).sum(0) / np.maximum(mask.sum(0), 1), 0.0
     )
     y = np.where(mask, y, col_mean[None, :])
-    beta, *_ = np.linalg.lstsq(X, y, rcond=None)  # [C, G]
+    # normal equations: C is tiny (2-3 columns) so this is exact and ~free,
+    # where gelsd-based lstsq cost ~4 s at 50k genes; fall back on rank
+    # deficiency
+    try:
+        beta = np.linalg.solve(X.T @ X, X.T @ y)  # [C, G]
+    except np.linalg.LinAlgError:
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
 
     intercept = beta[0]
     mu_hat = np.exp(X @ beta)  # [S, G]

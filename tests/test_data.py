@@ -102,3 +102,16 @@ def test_build_model_data(counts_df):
     )
     assert md2.exclude_mask.sum() == 2
     assert md2.exclude_mask[0, 1] and md2.exclude_mask[2, 0]
+
+
+def test_format_input_deduplicates_pairs(counts_df):
+    """Duplicated input rows (e.g. from upstream joins) must collapse to
+    their first occurrence, exactly like the reference's distinct()
+    (R/utilities.R:940) — the round-5 numpy dedup path."""
+    df = counts_df.assign(is_significant=counts_df.symbol.isin(["CYP1A1"]))
+    dup = pd.concat([df, df.head(5000)], ignore_index=True)
+    out = format_input(dup, "~ Label", "sample", "symbol", "value",
+                       "is_significant", "PValue", 30)
+    ref = format_input(df, "~ Label", "sample", "symbol", "value",
+                       "is_significant", "PValue", 30)
+    pd.testing.assert_frame_equal(out, ref)

@@ -233,3 +233,28 @@ def test_sample_scaling_on_counts_subset(counts_df):
     assert 0.8 < ref_mult < 1.25
     # exposure_rate = -log(multiplier) (reference R/methods.R:236)
     np.testing.assert_allclose(scal.exposure_rate, -np.log(scal.multiplier), rtol=1e-12)
+
+
+def test_sample_scaling_fast_path_matches_pandas_path():
+    """The S/G-code dense-pivot fast path must produce bitwise-identical
+    scaling to the generic pandas pivot path (round-5 host-prep
+    vectorization)."""
+    import numpy as np
+
+    from ppcseq_tpu.data import ingest
+    from ppcseq_tpu.norm.tmm import sample_scaling
+    from ppcseq_tpu.utils.synthetic import synthetic_tidy
+
+    df = synthetic_tidy(n_genes=200, n_samples=12, n_check=5, seed=3)
+    work = df.assign(do_check___=df["do_check"].astype(bool))
+    my_df = ingest.format_input(
+        work, "~ Label", "sample", "transcript", "count",
+        "do_check___", "PValue", 150,
+    )
+    fast = sample_scaling(my_df, "sample", "transcript", "count")
+    slow = sample_scaling(
+        my_df.drop(columns=["S", "G"]), "sample", "transcript", "count"
+    )
+    assert list(fast["sample"]) == list(slow["sample"])
+    for col in ("TMM", "multiplier", "exposure_rate"):
+        np.testing.assert_array_equal(fast[col].to_numpy(), slow[col].to_numpy())

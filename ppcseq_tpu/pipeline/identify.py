@@ -825,7 +825,11 @@ def identify_outliers(
                 approximate_posterior_analysis=False,
                 adj_prob_theshold=adj_prob_theshold_1,
                 how_many_posterior_draws=how_many_posterior_draws_1,
-                pass_fit=True,
+                # only retain the fit object (and the counts_rng host copy
+                # the exact path makes for it) when the caller asked —
+                # hard-coding True here shipped [draws, S, n_check] counts
+                # to host on every default run
+                pass_fit=pass_fit,
                 seed=seed,
                 **common,
             )

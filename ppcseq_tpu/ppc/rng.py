@@ -154,9 +154,12 @@ def exact_ci(
     run = _exact_ci_jit(float(adj_prob_threshold), float(truncation_compensation))
     n, S, K = lambda_log.shape
     kb_max = max(1, int(max_tile_elems / max(n * S, 1)))
-    if K <= kb_max and return_draws:
+    if K <= kb_max:
+        # single block: one call, no key split — the RNG stream (and hence
+        # the simulated counts_rng) is identical whether or not the draws
+        # are copied to host
         out, draws = run(key, lambda_log, sigma_raw, exposure_rate)
-        return finalize_summary(out), np.asarray(draws)
+        return finalize_summary(out), (np.asarray(draws) if return_draws else None)
     outs = []
     blocks = []
     for start in range(0, K, kb_max):
